@@ -1,0 +1,42 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharding
+tests run without TPU hardware (the driver separately dry-runs multi-chip)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import subprocess
+
+import pytest
+
+TOOLS_DIR = pathlib.Path(__file__).parent / "tools"
+FIXTURES_DIR = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="session")
+def seqan_oracle():
+    """Path to the SeqAn golden-oracle binary, building it if necessary.
+    Returns None when it cannot be built (tests fall back to committed
+    fixtures)."""
+    binary = TOOLS_DIR / "seqan_oracle"
+    if binary.exists():
+        return str(binary)
+    src = TOOLS_DIR / "seqan_oracle.cpp"
+    include = "/root/reference/core/includes-external"
+    if not pathlib.Path(include).exists():
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-std=c++14", "-O2", "-I", include, str(src), "-o", str(binary), "-lz"],
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return str(binary)
