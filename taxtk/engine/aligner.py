@@ -1,0 +1,110 @@
+"""Batched alignment service: ragged pair lists -> bucketed device batches.
+
+This is the TPU replacement for the reference's one-pair-at-a-time SeqAn
+calls (reference: taxonpredictionmodelsequence.hh:526,:630,:778): the RPA
+executor gathers every pair the current macro-batch of record sets needs,
+buckets them by padded shape (powers of two), and runs one wavefront-DP
+kernel launch per bucket.  Results are exact — bucketing only changes
+padding, never values.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..models.rpa import AlignValue, f32
+from ..ops.dna_align import batched_edit_distance
+from ..ops.protein_align import batched_protein_align
+
+
+def _pow2ceil(x: int, minimum: int = 16) -> int:
+    n = minimum
+    while n < x:
+        n <<= 1
+    return n
+
+
+class BatchAligner:
+    """mode: "dna" (edit distance + approximate stats) or "protein"
+    (BLOSUM62 NW + traceback stats)."""
+
+    def __init__(self, mode: str = "dna", max_batch_cells: int = 1 << 28):
+        assert mode in ("dna", "protein")
+        self.mode = mode
+        # cap on batch * M * N cells per launch to bound device memory
+        self.max_batch_cells = max_batch_cells
+        self.pairs_aligned = 0
+        self.cells_computed = 0
+
+    def align_pairs(
+        self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]
+    ) -> List[AlignValue]:
+        """pairs: list of (a_codes, b_codes) uint8 arrays (A = first argument
+        of the reference getAlignment call — order matters for protein)."""
+        results: List[AlignValue] = [None] * len(pairs)  # type: ignore
+
+        # degenerate pairs resolved on host
+        work: List[int] = []
+        for k, (a, b) in enumerate(pairs):
+            if len(a) == 0 or len(b) == 0:
+                results[k] = self._empty_pair(len(a), len(b))
+            else:
+                work.append(k)
+
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for k in work:
+            a, b = pairs[k]
+            key = (_pow2ceil(len(a)), _pow2ceil(len(b)))
+            buckets.setdefault(key, []).append(k)
+
+        for (M, N), idxs in buckets.items():
+            max_pairs = max(1, self.max_batch_cells // (M * N))
+            for off in range(0, len(idxs), max_pairs):
+                chunk = idxs[off : off + max_pairs]
+                self._run_bucket(pairs, chunk, M, N, results)
+        self.pairs_aligned += len(pairs)
+        return results
+
+    def _run_bucket(self, pairs, idxs, M, N, results):
+        B = len(idxs)
+        Bpad = _pow2ceil(B, minimum=8)
+        a_codes = np.zeros((Bpad, M), dtype=np.uint8)
+        b_codes = np.zeros((Bpad, N), dtype=np.uint8)
+        a_len = np.zeros(Bpad, dtype=np.int32)
+        b_len = np.zeros(Bpad, dtype=np.int32)
+        for r, k in enumerate(idxs):
+            a, b = pairs[k]
+            a_codes[r, : len(a)] = a
+            b_codes[r, : len(b)] = b
+            a_len[r] = len(a)
+            b_len[r] = len(b)
+        a_len[B:] = 1  # dummy rows
+        b_len[B:] = 1
+        self.cells_computed += int(a_len.sum() * 0 + (a_len * b_len).sum())
+
+        if self.mode == "dna":
+            dist = np.asarray(batched_edit_distance(a_codes, b_codes, a_len, b_len))
+            lendiff = np.abs(a_len - b_len)
+            mismatches = dist - lendiff
+            matches = np.minimum(a_len, b_len) - mismatches
+            for r, k in enumerate(idxs):
+                results[k] = AlignValue(
+                    distance=f32(dist[r]), similarity=f32(matches[r])
+                )
+        else:
+            out = batched_protein_align(a_codes, b_codes, a_len, b_len)
+            for r, k in enumerate(idxs):
+                results[k] = AlignValue(
+                    distance=f32(out["distance"][r]),
+                    similarity=f32(out["similarity"][r]),
+                )
+
+    def _empty_pair(self, la: int, lb: int) -> AlignValue:
+        if self.mode == "dna":
+            dist = max(la, lb)
+            matches = 0
+            return AlignValue(distance=f32(dist), similarity=f32(matches))
+        # protein with an empty side: all-gap alignment
+        return AlignValue(distance=f32(0.0), similarity=f32(0.0))

@@ -1,0 +1,169 @@
+"""Macro-batched RPA execution: stream record sets, batch alignments, emit GFF3.
+
+Pipeline per macro-batch of record sets (reference equivalent: the serial
+predict loop, taxator.cpp:50-77, and the producer/consumer pool :181-210 —
+here the parallel axis is the DEVICE batch, not threads, and output order is
+always input order, i.e. serial-mode semantics):
+
+  1. prepare():       classify tasks, collect pass-0 pairs     -> device round
+  2. replay_pass0():  pass-0 bookkeeping, pass-1 pair superset -> device round
+  3. replay_pass1():  anchors/outgroup, pass-2 pair superset   -> device round
+  4. replay_pass2():  final taxon ranges -> GFF3 lines in input order
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..formats.gff3 import PredictionRecord, GFF3_HEADER
+from ..models.rpa import RpaTask, AlignValue, PairKey
+from ..refpack.store import encode_dna, encode_protein, revcomp_dna
+from ..taxonomy.flat import FlatTaxonomy
+from .aligner import BatchAligner
+
+
+class SegmentCache:
+    """Lazy per-task sequence fetch + encode, mirroring RPA getSequence
+    (reference: taxonpredictionmodelsequence.hh:856-880): reference segments
+    are extended by the query overhangs; swapped reference coordinates mean
+    reverse complement (DNA only)."""
+
+    def __init__(self, task: RpaTask, query_store, db_store, protein: bool):
+        self.task = task
+        self.query_store = query_store
+        self.db_store = db_store
+        self.protein = protein
+        self._qrseq: Optional[np.ndarray] = None
+        self._segments: Dict[int, np.ndarray] = {}
+
+    def _encode(self, raw: bytes) -> np.ndarray:
+        return encode_protein(raw) if self.protein else encode_dna(raw)
+
+    def qrseq(self) -> np.ndarray:
+        if self._qrseq is None:
+            raw = self.query_store.get_sequence(
+                self.task.qid, self.task.qrstart, self.task.qrstop
+            )
+            self._qrseq = self._encode(raw)
+        return self._qrseq
+
+    def segment(self, i: int) -> np.ndarray:
+        seg = self._segments.get(i)
+        if seg is None:
+            rec = self.task.records[i]
+            left_ext = rec.query_start - self.task.qrstart
+            right_ext = self.task.qrstop - rec.query_stop
+            start, stop = rec.reference_start, rec.reference_stop
+            if not self.protein and start > stop:
+                # reverse complement: swapped coords (doc/fileformats.md:30)
+                newstart = stop - right_ext if right_ext < stop else 1
+                newstop = start + left_ext
+                raw = self.db_store.get_sequence(
+                    rec.reference_identifier, newstart, newstop
+                )
+                seg = revcomp_dna(self._encode(raw))
+            else:
+                newstart = start - left_ext if left_ext < start else 1
+                newstop = stop + right_ext
+                raw = self.db_store.get_sequence(
+                    rec.reference_identifier, newstart, newstop
+                )
+                seg = self._encode(raw)
+            self._segments[i] = seg
+        return seg
+
+    def pair_sequences(self, key: PairKey) -> Tuple[np.ndarray, np.ndarray]:
+        kind, i, j = key
+        if kind == "q":
+            return self.segment(i), self.qrseq()
+        return self.segment(i), self.segment(j)
+
+
+class RpaEngine:
+    def __init__(
+        self,
+        tax: FlatTaxonomy,
+        query_store,
+        db_store,
+        protein: bool = False,
+        exclude_factor: float = 0.5,
+        toppercent: float = 0.05,
+        macro_batch: int = 512,
+        aligner: Optional[BatchAligner] = None,
+    ):
+        self.tax = tax
+        self.query_store = query_store
+        self.db_store = db_store
+        self.protein = protein
+        self.exclude_factor = exclude_factor
+        self.toppercent = toppercent
+        self.macro_batch = macro_batch
+        self.aligner = aligner or BatchAligner("protein" if protein else "dna")
+
+    def run(self, recordsets: Iterable[list], out=sys.stdout) -> None:
+        """Stream record sets -> GFF3 on `out` (serial-mode byte parity:
+        single persistent PredictionRecord, see models/rpa.py quirk notes)."""
+        out.write(GFF3_HEADER + "\n")
+        prec = PredictionRecord(self.tax)  # persistent across records
+        batch: List[list] = []
+        for rset in recordsets:
+            batch.append(rset)
+            if len(batch) >= self.macro_batch:
+                self._flush(batch, prec, out)
+                batch = []
+        if batch:
+            self._flush(batch, prec, out)
+
+    def _flush(self, batch: List[list], prec: PredictionRecord, out) -> None:
+        for task in self.process_batch(batch):
+            task.fill_prediction(prec)
+            out.write(prec.print_line() + "\n")
+
+    def process_batch(self, recordsets: List[list]) -> List[RpaTask]:
+        tasks = [
+            RpaTask(self.tax, rs, self.exclude_factor, self.toppercent)
+            for rs in recordsets
+        ]
+        caches = [
+            SegmentCache(t, self.query_store, self.db_store, self.protein)
+            for t in tasks
+        ]
+        pair_caches: List[Dict[PairKey, AlignValue]] = [dict() for _ in tasks]
+
+        # round 0
+        reqs = [t.prepare() for t in tasks]
+        self._align_round(tasks, caches, pair_caches, reqs)
+        # round 1
+        reqs = [
+            t.replay_pass0(pc) if t.result is None else []
+            for t, pc in zip(tasks, pair_caches)
+        ]
+        self._align_round(tasks, caches, pair_caches, reqs)
+        # round 2
+        reqs = [
+            t.replay_pass1(pc) if t.result is None else []
+            for t, pc in zip(tasks, pair_caches)
+        ]
+        self._align_round(tasks, caches, pair_caches, reqs)
+        for t, pc in zip(tasks, pair_caches):
+            if t.result is None:
+                t.replay_pass2(pc)
+        return tasks
+
+    def _align_round(self, tasks, caches, pair_caches, reqs_per_task) -> None:
+        flat: List[Tuple[int, PairKey]] = []
+        for ti, reqs in enumerate(reqs_per_task):
+            seen = pair_caches[ti]
+            for key in reqs:
+                if key not in seen:
+                    seen[key] = None  # reserve to dedupe within the round
+                    flat.append((ti, key))
+        if not flat:
+            return
+        pairs = [caches[ti].pair_sequences(key) for ti, key in flat]
+        values = self.aligner.align_pairs(pairs)
+        for (ti, key), val in zip(flat, values):
+            pair_caches[ti][key] = val

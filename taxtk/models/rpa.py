@@ -1,0 +1,553 @@
+"""Realignment Placement Algorithm — decision replay over batched alignments.
+
+The reference RPA (reference: core/src/taxonpredictionmodelsequence.hh:326-881)
+interleaves pairwise alignments with sequential decision logic.  On TPU the
+alignments are 99+% of the cost, so we split the algorithm into
+
+  * three *batchable alignment rounds* whose pair sets are supersets of what
+    the reference would compute (supersets are safe: the sequential logic only
+    READS distances; extra entries never change decisions), and
+  * an exact host *replay* of the reference's control flow between rounds,
+    working on flat-taxonomy node indices and float32 arithmetic that mirrors
+    the C++ float types operation by operation.
+
+One RpaTask handles one record set (one query segment).  The executor drives
+many tasks at once, merging their pair requests into large device batches.
+
+Preserved reference quirks (documented, SURVEY.md section 7):
+  * pass-1's score cutoff variable is an `int`, so the float threshold is
+    truncated (taxonpredictionmodelsequence.hh:602,659);
+  * outgroup candidate distances are stored in an int tuple and re-read as
+    float, truncating fractional protein distances (:592,:661,:674);
+  * `min_upper_dist` is initialised with INT_MAX but compared against
+    FLT_MAX, so the "no outgroup => upper node = root, ival = 1" branch
+    (:715-718) is unreachable and the upper node starts at the lower node
+    (:670,:690);
+  * the interpolation value of a PredictionRecord persists across records in
+    the reference's record-reuse pattern: n==0 outputs can inherit the
+    previous record's ival (taxator.cpp:66-74 + predictionrecord.hh:255-258).
+    The executor replays this serial-mode chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..formats.alignments import AlignmentRecord
+from ..formats.gff3 import PredictionRecord
+from ..taxonomy.flat import FlatTaxonomy
+
+f32 = np.float32
+FLT_MAX = f32(np.finfo(np.float32).max)
+# float(INT_MAX) — reference initialises min_upper_dist from int max (:670)
+INT_MAX_AS_F32 = f32(2147483647)
+
+# Pair request: ("q", i, -1) = segment_i vs query-range sequence;
+#               ("s", i, j) = segment_i vs segment_j (ordered!)
+PairKey = Tuple[str, int, int]
+
+
+@dataclass
+class AlignValue:
+    distance: f32
+    similarity: f32
+
+
+class RpaTask:
+    """Replay of one record set through the 3-pass RPA."""
+
+    def __init__(
+        self,
+        tax: FlatTaxonomy,
+        recordset: Sequence[AlignmentRecord],
+        exclude_factor: float = 0.5,
+        toppercent: float = 0.05,
+    ):
+        self.tax = tax
+        self.recordset = list(recordset)
+        self.exclude_factor = f32(exclude_factor)
+        # reeval_bandwidth_factor_ = 1 - toppercent (:334)
+        self.reeval_factor = f32(1.0 - f32(toppercent))
+        self.result: Optional[dict] = None  # final prediction fields
+        self.records: List[AlignmentRecord] = []
+        self.n = 0
+        # replay state
+        self.querydistance: List[f32] = []
+        self.querysimilarity: List[f32] = []
+        self.qgroup: List[int] = []  # sorted set of indices
+        self.outgroup: List[int] = []
+        self.rtax = -1
+        self.lca_allnodes = -1
+        self.anchors_support = 0
+        self.lnode_global = -1
+        self.unode_global = -1
+        self.ival_global = f32(0.0)
+        self.bandfactor_max = f32(1.0)
+        self.pass1_anchor_count = 0
+        # per-record counters (STATS parity, :479-486)
+        self.counters = dict(p0=0, p0n=0, p1=0, p1n=0, p2=0, p2n=0)
+
+    # ------------------------------------------------------------------ helpers
+    def _lca(self, a: int, b: int) -> int:
+        return int(self.tax.lca(a, b))
+
+    @property
+    def _root(self) -> int:
+        return self.tax.ROOT
+
+    # ------------------------------------------------------------------ phase A
+    def prepare(self) -> List[PairKey]:
+        """Classify the record set; returns pass-0 pair requests (empty when
+        the task resolved immediately: n==0, n==1, or exact-match shortcut)."""
+        front = self.recordset[0]
+        self.qid = front.query_identifier
+        self.qlen = front.query_length
+
+        active = [r for r in self.recordset if not r.masked]
+        n = len(active)
+
+        if n == 0:  # unclassified (:359-368)
+            self.result = dict(kind="unclassified")
+            return []
+
+        if n == 1:  # single alignment pass-through (:371-388)
+            rec = active[0]
+            self.result = dict(
+                kind="single",
+                qrstart=rec.query_start,
+                qrstop=rec.query_stop,
+                lnode=rec.reference_node,
+                unode=self._root,
+                support=rec.identities,
+                rtax=rec.reference_node,
+                ival=f32(1.0),
+            )
+            return []
+
+        # query range = union of active record spans (:390-404)
+        self.qrstart = min(r.query_start for r in active)
+        self.qrstop = max(r.query_stop for r in active)
+        self.qrlength = self.qrstop - self.qrstart + 1
+
+        # stable sort desc by (score, identities) (:412, alignmentsfilter.hh:172)
+        self.records = sorted(
+            active, key=lambda r: (-float(r.score), -r.identities)
+        )
+        records = self.records
+        self.n = n
+        qmax_searchscore = records[0].score
+
+        # exact-match shortcut (:431-472)
+        if (
+            records[0].alignment_length == self.qrlength
+            and records[0].identities == self.qrlength
+        ):
+            searchscore_best = records[0].score
+            lnode = records[0].reference_node
+            unode = None
+            i = 1
+            while True:
+                if i == n:
+                    unode = self._root
+                    break
+                searchscore = records[i].score
+                if searchscore == searchscore_best:
+                    lnode = self._lca(lnode, records[i].reference_node)
+                else:
+                    uscore = searchscore
+                    unode = lnode
+                    while True:
+                        unode = self._lca(unode, records[i].reference_node)
+                        i += 1
+                        if not (i < n and records[i].score == uscore):
+                            break
+                    break
+                i += 1
+            self.result = dict(
+                kind="exact",
+                qrstart=self.qrstart,
+                qrstop=self.qrstop,
+                lnode=lnode,
+                unode=unode,
+                support=self.qrlength,
+                rtax=lnode,
+                ival=f32(0.0),
+            )
+            return []
+
+        # full path: emit pass-0 requests (:497-549)
+        self.querydistance = [FLT_MAX] * n
+        self.querysimilarity = [f32(0.0)] * n
+        threshold = f32(self.reeval_factor * qmax_searchscore)
+        self._pass0_exact: List[bool] = []
+        self._pass0_aligned: List[bool] = []
+        reqs: List[PairKey] = []
+        for i, rec in enumerate(records):
+            exact = (
+                rec.alignment_length == self.qrlength
+                and rec.identities == self.qrlength
+            )
+            aligned = (not exact) and rec.score >= threshold
+            self._pass0_exact.append(exact)
+            self._pass0_aligned.append(aligned)
+            if aligned:
+                reqs.append(("q", i, -1))
+        return reqs
+
+    # ------------------------------------------------------------------ phase B
+    def replay_pass0(self, cache: Dict[PairKey, AlignValue]) -> List[PairKey]:
+        """Pass-0 bookkeeping (:497-566) and pass-1 pair superset."""
+        records = self.records
+        n = self.n
+        tax = self.tax
+        qgroup: List[int] = []
+        index_best = 0
+        anchors_support = 0
+        lca_allnodes = records[0].reference_node
+
+        for i, rec in enumerate(records):
+            if self._pass0_exact[i]:
+                if i not in qgroup:
+                    qgroup.append(i)
+                dist = f32(0.0)
+                sim = f32(rec.identities)
+                self.counters["p0n"] += 1
+            elif self._pass0_aligned[i]:
+                qgroup.append(i)
+                aln = cache[("q", i, -1)]
+                dist = aln.distance
+                sim = max(aln.similarity, f32(rec.identities))
+                self.counters["p0"] += 1
+                self.counters["p0n"] += 1
+            else:
+                dist = FLT_MAX
+                sim = f32(rec.identities)
+            self.querydistance[i] = dist
+            self.querysimilarity[i] = sim
+            # best-index tie-break (:542-546)
+            if dist < self.querydistance[index_best]:
+                index_best = i
+            elif dist == self.querydistance[index_best]:
+                if sim > self.querysimilarity[index_best]:
+                    index_best = i
+                elif (
+                    sim == self.querysimilarity[index_best]
+                    and rec.score > records[index_best].score
+                ):
+                    index_best = i
+            anchors_support = max(anchors_support, int(sim))
+            lca_allnodes = self._lca(lca_allnodes, rec.reference_node)
+
+        # keep only records matching the best (dist, sim, score) (:553-562)
+        rtax = records[index_best].reference_node
+        kept = []
+        for i in sorted(qgroup):
+            if (
+                self.querydistance[i] != self.querydistance[index_best]
+                or self.querysimilarity[i] != self.querysimilarity[index_best]
+                or records[i].score != records[index_best].score
+            ):
+                continue
+            rtax = self._lca(rtax, records[i].reference_node)
+            kept.append(i)
+        self.qgroup = kept
+        self.rtax = rtax
+        self.lca_allnodes = lca_allnodes
+        self.anchors_support = anchors_support
+        self.lnode_global = rtax
+        self.unode_global = rtax
+
+        # pass-1 superset: every anchor in the snapshot vs every candidate
+        # that will need a real alignment (querydistance != 0, not the anchor)
+        reqs: List[PairKey] = []
+        for a in self.qgroup:
+            for i in range(n):
+                if i != a and self.querydistance[i] != f32(0.0):
+                    reqs.append(("s", i, a))
+        return reqs
+
+    # ------------------------------------------------------------------ phase C
+    def replay_pass1(self, cache: Dict[PairKey, AlignValue]) -> List[PairKey]:
+        """Pass 1 (:576-733).  Returns the pass-2 pair superset."""
+        records = self.records
+        n = self.n
+        root = self._root
+        qgroup = list(self.qgroup)
+        outgroup: List[int] = []
+        lca_root_dist_min = 255  # small_unsigned_int max (:579)
+        exclude = self.exclude_factor
+        ival_global = f32(0.0)
+        lnode_global = self.lnode_global
+        unode_global = self.unode_global
+        bandfactor_max = f32(1.0)
+
+        while True:  # do-while over anchors (:580-729)
+            self.pass1_anchor_count += 1
+            band_data: List[Tuple[f32, int]] = []
+            index_anchor = qgroup.pop(0)
+            qdist = self.querydistance[index_anchor]
+            rnode = records[index_anchor].reference_node
+            band_data.append((f32(0.0), rnode))
+            lnode = self.rtax
+            unode: Optional[int] = None
+            ldist = f32(0.0)
+            udist = FLT_MAX
+            outgroup_tmp: List[Tuple[int, int]] = []  # (index, int-dist) (:592)
+            self.counters["p1n"] += n - 1
+
+            qpid_upper = 0.0
+            qpid_thresh_guarantee = 0.0
+            qpid_thresh_heuristic = 0.0
+            qsearchscore_thresh_heuristic = 0  # int! (:602)
+
+            i = 0
+            while (
+                lnode != root
+                and i < n
+                and records[i].score >= qsearchscore_thresh_heuristic
+            ):
+                cnode = records[i].reference_node
+                qsearchpid = float(records[i].identities) / self.qrlength
+                qpid = float(self.querysimilarity[i]) / self.qrlength
+                qpid_thresh = max(qpid_thresh_guarantee, qpid_thresh_heuristic)
+
+                if qpid >= qpid_thresh:
+                    if i == index_anchor:
+                        dist = f32(0.0)
+                    elif self.querydistance[i] == f32(0.0):
+                        # triangle relation (:620-623)
+                        dist = self.querydistance[index_anchor]
+                    else:
+                        dist = cache[("s", i, index_anchor)].distance
+                        self.counters["p1"] += 1
+
+                    band_data.append((dist, cnode))
+
+                    if dist == f32(0.0):
+                        if i in qgroup:
+                            qgroup.remove(i)  # sequence-identical (:644)
+                    else:
+                        if dist <= qdist:
+                            lnode = self._lca(lnode, cnode)
+                            if dist > ldist:
+                                ldist = dist
+                        else:
+                            if dist < udist:
+                                udist = dist
+                                if qsearchpid > qpid_upper:
+                                    qpid_upper = qsearchpid
+                                    qpid_thresh_guarantee = qsearchpid * 2.0 - 1.0
+                                    qpid_thresh_heuristic = float(
+                                        qsearchpid * exclude
+                                    )
+                                if not qsearchscore_thresh_heuristic:
+                                    qsearchscore_thresh_heuristic = int(
+                                        f32(records[i].score * exclude)
+                                    )
+                            outgroup_tmp.append((i, int(dist)))
+                i += 1
+
+            bandfactor = self._band_factor(band_data, rnode)
+            bandfactor_max = max(bandfactor_max, bandfactor)
+            qdist_ex = f32(qdist * bandfactor)
+            min_upper_dist = INT_MAX_AS_F32  # quirk: INT_MAX, not FLT_MAX (:670)
+
+            # outgroup curation (:673-687)
+            curated: List[Tuple[int, int]] = []
+            for idx, dist_i in outgroup_tmp:
+                dist = f32(dist_i)
+                if dist > qdist_ex:
+                    if dist > min_upper_dist:
+                        continue  # erase
+                    if dist < min_upper_dist:
+                        min_upper_dist = dist
+                    curated.append((idx, dist_i))
+                else:
+                    if min_upper_dist > qdist_ex:
+                        min_upper_dist = dist
+                    else:
+                        min_upper_dist = max(min_upper_dist, dist)
+                    curated.append((idx, dist_i))
+
+            # dead-branch quirk: the FLT_MAX comparison always passes (:690)
+            unode = lnode
+            for idx, dist_i in curated:
+                dist = f32(dist_i)
+                cnode = records[idx].reference_node
+                if dist > min_upper_dist:
+                    continue
+                unode = self._lca(cnode, unode)
+                lca_root_dist = int(self.tax.depth[self._lca(cnode, self.rtax)])
+                if lca_root_dist > lca_root_dist_min:
+                    continue
+                if lca_root_dist < lca_root_dist_min:
+                    lca_root_dist_min = lca_root_dist
+                    outgroup = []
+                if idx not in outgroup:
+                    outgroup.append(idx)
+
+            # interpolation value (:714-719)
+            ival = f32(0.0)
+            if unode != lnode and ldist < qdist:
+                ival = f32((qdist - ldist) / f32(udist - ldist))
+
+            ival_global = max(ival, ival_global)
+            unode_global = self._lca(unode_global, unode)
+            lnode_global = self._lca(lnode_global, lnode)
+
+            if not (qgroup and lnode_global != root):
+                break
+
+        self.outgroup = sorted(outgroup)
+        self.ival_global = ival_global
+        self.lnode_global = lnode_global
+        self.unode_global = unode_global
+        self.bandfactor_max = bandfactor_max
+
+        # pass-2 superset
+        reqs: List[PairKey] = []
+        for a in self.outgroup:
+            for i in range(n):
+                if i != a:
+                    reqs.append(("s", i, a))
+            if self.querydistance[a] == FLT_MAX:
+                reqs.append(("q", a, -1))
+        return reqs
+
+    def _band_factor(self, data: List[Tuple[f32, int]], anchor_node: int) -> f32:
+        """BandFactor (:259-323): score-vs-LCA-rank disorder into a
+        multiplicative band sqrt(max(score/refscore))."""
+        # sort data[1:] ascending by score; reference std::sort is unstable
+        # only for equal scores where the outcome is rank-identical in practice
+        head, tail = data[0], sorted(data[1:], key=lambda t: float(t[0]))
+        seq = [head] + tail
+        bandfactor = f32(1.0)
+        score0, a0 = seq[0]
+        last_rank = int(self.tax.depth[a0])
+        worst: Dict[int, f32] = {last_rank: score0}
+        for score, node in seq[1:]:
+            rank = int(self.tax.depth[self._lca(node, anchor_node)])
+            if rank == last_rank:
+                pass
+            elif rank < last_rank:
+                worst[rank] = score
+                last_rank = rank
+            else:  # disorder (:298-308)
+                r = rank - 1
+                while True:
+                    if r in worst:
+                        refscore = worst[r]
+                        if refscore:
+                            bandfactor = max(bandfactor, f32(score / refscore))
+                    if r == 0:
+                        break
+                    r -= 1
+        # C++ sqrt promotes to double then narrows to float (:276)
+        return f32(np.sqrt(np.float64(bandfactor)))
+
+    # ------------------------------------------------------------------ phase D
+    def replay_pass2(self, cache: Dict[PairKey, AlignValue]) -> None:
+        """Pass 2 (:737-822) and final result assembly (:824-837)."""
+        records = self.records
+        n = self.n
+        exclude = self.exclude_factor
+        outgroup = list(self.outgroup)
+        unode_global = self.unode_global
+
+        while outgroup:
+            index_anchor = outgroup.pop(0)
+            if unode_global == self.lca_allnodes:
+                if self.querydistance[index_anchor] == FLT_MAX:
+                    self.counters["p2n"] += n
+                else:
+                    self.counters["p2n"] += n - 1
+                continue
+
+            qpid_anchor = float(self.querysimilarity[index_anchor]) / self.qrlength
+            qpid_thresh_guarantee = qpid_anchor * 2.0 - 1.0
+            # double * float -> double in C++ (:752)
+            qpid_thresh_heuristic = qpid_anchor * float(exclude)
+            qpid_thresh = max(qpid_thresh_guarantee, qpid_thresh_heuristic)
+            qsst = f32(records[index_anchor].score * exclude)
+            self.counters["p2n"] += 1
+
+            i = 0
+            while i < n and records[i].score >= qsst:
+                qpid = float(self.querysimilarity[i]) / self.qrlength
+                if qpid >= qpid_thresh:
+                    cnode = records[i].reference_node
+                    if i == index_anchor:
+                        dist = f32(0.0)
+                    else:
+                        self.counters["p2n"] += 1
+                        if (
+                            self.tax.is_parent_of(unode_global, cnode)
+                            or cnode == unode_global
+                        ):
+                            i += 1
+                            continue
+                        dist = cache[("s", i, index_anchor)].distance
+                        self.counters["p2"] += 1
+                        self.querydistance[i] = dist
+
+                    if dist == f32(0.0):
+                        if i in outgroup:
+                            outgroup.remove(i)
+                    else:
+                        if self.querydistance[index_anchor] == FLT_MAX:
+                            # align query <=> anchor (:792-808)
+                            aln = cache[("q", index_anchor, -1)]
+                            qa_dist = aln.distance
+                            qa_sim = max(
+                                aln.similarity, self.querysimilarity[index_anchor]
+                            )
+                            self.querydistance[index_anchor] = qa_dist
+                            self.querysimilarity[index_anchor] = qa_sim
+                            self.counters["p2"] += 1
+                            qdist_ex = f32(qa_dist * self.bandfactor_max)
+                        else:
+                            qdist_ex = f32(
+                                self.querydistance[index_anchor] * self.bandfactor_max
+                            )
+                        if dist <= qdist_ex:
+                            unode_global = self._lca(unode_global, cnode)
+                i += 1
+
+        ival_global = self.ival_global
+        if unode_global == self.lnode_global:
+            ival_global = f32(1.0)
+
+        self.result = dict(
+            kind="full",
+            qrstart=self.qrstart,
+            qrstop=self.qrstop,
+            lnode=self.lnode_global,
+            unode=unode_global,
+            support=self.anchors_support,
+            rtax=self.rtax,
+            ival=ival_global,
+            signal=f32(0.0),  # anchors_taxsig: min(.0, 1.) (:569,:722-725)
+        )
+
+    # ------------------------------------------------------------------ output
+    def fill_prediction(self, prec: PredictionRecord) -> None:
+        """Write the result into a PredictionRecord, mimicking the reference's
+        record-reuse field updates (only `full` sets the signal strength)."""
+        r = self.result
+        assert r is not None
+        prec.initialize(self.qid, self.qlen)
+        if r["kind"] == "unclassified":
+            # setUnclassified (taxonpredictionmodel.hh:46-49); ival untouched
+            prec.set_node_point(self.tax.ROOT, 0)
+            prec.rtax = self.tax.ROOT
+            return
+        prec.query_feature_begin = r["qrstart"]
+        prec.query_feature_end = r["qrstop"]
+        prec.interpolation_value = float(r["ival"])
+        prec.set_node_range(r["lnode"], r["unode"], int(r["support"]))
+        prec.rtax = r["rtax"]
+        if r["kind"] == "full":
+            prec.signal_strength = float(r["signal"])

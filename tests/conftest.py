@@ -3,12 +3,18 @@ tests run without TPU hardware (the driver separately dry-runs multi-chip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize force-registers the TPU backend and overrides
+# jax_platforms; reclaim the CPU backend before any jax computation runs.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import subprocess
