@@ -1,0 +1,185 @@
+"""taxtk-taxator — drop-in CLI equivalent of the reference `taxator` binary.
+
+Flags, defaults and the stdin->stdout text contract follow the reference
+(reference: core/taxator.cpp:256-387): alignments TSV on stdin, GFF3 on
+stdout.  The compute path is the TPU-batched RPA engine instead of the
+producer/consumer thread pool; `-p` is accepted for compatibility (device
+batching replaces host threads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..constants import DEFAULT_RANKS, PROGRAM_VERSION, CITATION_NOTE
+from ..formats.alignments import iter_alignment_records
+from ..formats.gff3 import PredictionRecord, GFF3_HEADER
+from ..formats.mapping import load_seqid_taxid_mapping
+from ..engine.recordsets import iter_record_sets
+from ..engine.executor import RpaEngine
+from ..models.lca import (
+    DummyPredictionModel,
+    LCASimplePredictionModel,
+    MeganLCAPredictionModel,
+    NBestLCAPredictionModel,
+)
+from ..refpack.store import (
+    IndexedFastaStore,
+    InMemoryFastaStore,
+    load_identifier_whitelist,
+)
+from ..taxonomy.flat import load_taxonomy_from_environment
+from ..utils.errors import TaxtkError
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="taxtk-taxator",
+        description="taxonomic assignment of query sequence segments (RPA)",
+    )
+    p.add_argument("--citation", action="store_true")
+    p.add_argument("-V", "--version", action="store_true")
+    p.add_argument("-a", "--algorithm", default="rpa")
+    p.add_argument("-g", "--seqid-taxid-mapping")
+    p.add_argument("-q", "--query-sequences")
+    p.add_argument("-v", "--query-sequences-index")
+    p.add_argument("-f", "--ref-sequences")
+    p.add_argument("-i", "--ref-sequences-index")
+    p.add_argument("-p", "--processors", type=int, default=1)
+    p.add_argument("-l", "--logfile", default="/dev/null")
+    p.add_argument("-b", "--dataformat", default="nucleotide")
+    # advanced options (reference hidden group, taxator.cpp:281-294)
+    p.add_argument("-r", "--ranks", nargs="*", default=None)
+    p.add_argument("-s", "--split-alignments", type=_boolarg, default=True)
+    p.add_argument("-o", "--alignments-sorted", type=_boolarg, default=False)
+    p.add_argument("-d", "--delete-notranks", type=_boolarg, default=True)
+    p.add_argument("-x", "--heuristic-cutoff", type=float, default=0.5)
+    p.add_argument("-t", "--toppercent", type=float, default=0.05)
+    p.add_argument("-e", "--max-evalue", type=float, default=1000.0)
+    p.add_argument("-c", "--min-support", type=int, default=1)
+    p.add_argument("-m", "--minscore", type=float, default=0.0)
+    p.add_argument("-n", "--nbest", type=int, default=1)
+    p.add_argument("-u", "--ignore-unclassified", action="store_true")
+    p.add_argument("-w", "--db-whitelist")
+    p.add_argument("--macro-batch", type=int, default=512)
+    return p
+
+
+def _boolarg(v: str) -> bool:
+    return v not in ("0", "false", "False", "no")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(PROGRAM_VERSION)
+        return 0
+    if args.citation:
+        print(CITATION_NOTE)
+        return 0
+
+    ranks = args.ranks if args.ranks else list(DEFAULT_RANKS)
+
+    if not args.seqid_taxid_mapping:
+        print("Specify a taxonomy mapping file for the reference sequence identifiers")
+        return 1
+
+    tax = load_taxonomy_from_environment(ranks)
+    if tax is None:
+        return 1
+    if args.delete_notranks:
+        tax = tax.prune_to_marked_ranks(ranks)
+
+    seqid2taxid = load_seqid_taxid_mapping(args.seqid_taxid_mapping)
+
+    try:
+        records = _resolved_records(sys.stdin, seqid2taxid, tax)
+        rsets = iter_record_sets(records, args.split_alignments, args.alignments_sorted)
+
+        if args.algorithm == "rpa":
+            protein = args.dataformat == "protein"
+            if args.dataformat not in ("nucleotide", "protein"):
+                print("data format can either be nucleotide or protein")
+                return 1
+            query_store = _open_store(
+                args.query_sequences, args.query_sequences_index, None
+            )
+            whitelist = (
+                load_identifier_whitelist(args.db_whitelist)
+                if args.db_whitelist
+                else None
+            )
+            db_store = _open_store(
+                args.ref_sequences, args.ref_sequences_index, whitelist
+            )
+            engine = RpaEngine(
+                tax,
+                query_store,
+                db_store,
+                protein=protein,
+                exclude_factor=args.heuristic_cutoff,
+                toppercent=args.toppercent,
+                macro_batch=args.macro_batch,
+            )
+            engine.run(rsets, sys.stdout)
+        elif args.algorithm in ("dummy", "simple-lca", "megan-lca", "ic-megan-lca", "n-best-lca"):
+            model = _make_lca_model(args, tax)
+            sys.stdout.write(GFF3_HEADER + "\n")
+            prec = PredictionRecord(tax)  # persistent (serial-mode parity)
+            for rset in rsets:
+                model.predict(rset, prec)
+                sys.stdout.write(prec.print_line() + "\n")
+        else:
+            print(
+                "classification algorithm can either be: rpa (default), "
+                "simple-lca, megan-lca, ic-megan-lca, n-best-lca"
+            )
+            return 1
+        return 0
+    except TaxtkError as e:
+        print(f"An unrecoverable error occurred: {e}", file=sys.stderr)
+        return 1
+
+
+def _make_lca_model(args, tax):
+    if args.algorithm == "dummy":
+        return DummyPredictionModel(tax)
+    if args.algorithm == "simple-lca":
+        return LCASimplePredictionModel(tax)
+    if args.algorithm in ("megan-lca", "ic-megan-lca"):
+        return MeganLCAPredictionModel(
+            tax,
+            ignore_unclassified=args.ignore_unclassified,
+            toppercent=args.toppercent,
+            minscore=args.minscore,
+            minsupport=args.min_support,
+            maxevalue=args.max_evalue,
+        )
+    return NBestLCAPredictionModel(tax, args.nbest)
+
+
+def _open_store(fasta, index, whitelist):
+    if fasta is None:
+        raise TaxtkError("missing FASTA file argument")
+    if index:
+        return IndexedFastaStore(fasta, index)
+    return InMemoryFastaStore(fasta, whitelist)
+
+
+def _resolved_records(stream, seqid2taxid, tax):
+    """AlignmentRecordTaxonomy analog: resolve the reference taxon at parse
+    time; unknown mappings/taxa are fatal (reference: alignmentrecord.hh:211-228)."""
+    for _, rec in iter_alignment_records(stream):
+        taxid = seqid2taxid.get(rec.reference_identifier)
+        if taxid is None:
+            raise TaxtkError(
+                "bad taxon mapping for alignment reference sequence",
+                seqid=rec.reference_identifier,
+            )
+        rec.reference_node = tax.node(taxid)
+        yield rec
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Binner + consensus tests against hand-computed expectations."""
+
+import io
+
+import pytest
+
+from taxtk.binning.binner import run_binner, write_bioboxes_header
+from taxtk.binning.consensus import combine_prediction_ranges
+from taxtk.formats.gff3 import PredictionRecord, BINNING_DIRECT, BINNING_FALLBACK
+from fixture_tax import make_taxonomy
+
+
+@pytest.fixture
+def tax(tmp_path):
+    t = make_taxonomy(tmp_path, prune=True)
+    t.version = "deadbeef"
+    return t
+
+
+def _seg(tax, qid, qlen, lower, upper, support, begin=1, end=None):
+    prec = PredictionRecord(tax)
+    prec.initialize(qid, qlen)
+    prec.query_feature_begin = begin
+    prec.query_feature_end = end or qlen
+    prec.rtax = tax.node(lower)
+    prec.set_node_range(tax.node(lower), tax.node(upper), support)
+    return prec
+
+
+class TestCombine:
+    def test_direct_mode_majority(self, tax):
+        # two segments agree on E. coli lineage, one is Bacillus:
+        # direct support on the shared lineage clears the threshold
+        segs = [
+            _seg(tax, "c1", 500, "2111111", "1", 300),
+            _seg(tax, "c1", 500, "2111111", "1", 250),
+            _seg(tax, "c1", 500, "2211111", "1", 60),
+        ]
+        prec = combine_prediction_ranges(segs, "c1", tax, 0.7, 50)
+        assert prec.binning_type == BINNING_DIRECT
+        # majority branch is E. coli; threshold = max(0.7*610, 50) = 427
+        # direct support along E. coli path = 300+250 = 550 >= 427 at each
+        # level down to species
+        assert tax.taxid_of(prec.lower_node) == "2111111"
+        assert prec.query_length == 500  # same query id counted once
+
+    def test_fallback_mode(self, tax):
+        # conflicting deep assignments with low per-branch support ->
+        # fallback to total support at the deepest node above threshold
+        segs = [
+            _seg(tax, "c2", 400, "2111111", "211111", 100),
+            _seg(tax, "c2", 400, "2211111", "221111", 90),
+        ]
+        # threshold = max(0.7*190, 120) = 133 -> no single level has direct
+        # support >= 133 below the divergence... but the root does (190)
+        prec = combine_prediction_ranges(segs, "c2", tax, 0.7, 120)
+        assert prec.binning_type in (BINNING_DIRECT, BINNING_FALLBACK)
+
+    def test_uint16_wrap_parity(self, tax):
+        # summed support wraps at 65536 like the reference's
+        # medium_unsigned_int accumulation (types.hh:35)
+        segs = [
+            _seg(tax, "c3", 70000, "2111111", "1", 40000),
+            _seg(tax, "c3", 70000, "2111111", "1", 40000),
+        ]
+        prec = combine_prediction_ranges(segs, "c3", tax, 0.7, 50)
+        # 40000+40000 = 80000 -> wraps to 14464; threshold = 0.7*14464 = 10124
+        # direct support at each E.coli level = 14464 >= 10124 -> direct mode
+        assert prec.binning_type == BINNING_DIRECT
+        assert prec.get_support_at_node(prec.lower_node) == (80000) % 65536
+
+
+GFF3_INPUT = """##gff-version 3
+contig1\ttaxator-tk\tsequence_feature\t1\t500\t0\t.\t.\tseqlen=1200;tax=2111111:480-21111;rtax=2111111;ival=0.25
+contig1\ttaxator-tk\tsequence_feature\t600\t1100\t0\t.\t.\tseqlen=1200;tax=2111111:400-211111;rtax=2111111
+contig2\ttaxator-tk\tsequence_feature\t1\t300\t0\t.\t.\tseqlen=300;tax=2211111:250-22111;rtax=2211111
+"""
+
+
+class TestRunBinner:
+    def test_basic(self, tax, capsys):
+        out = io.StringIO()
+        run_binner(
+            tax,
+            [io.StringIO(GFF3_INPUT)],
+            out,
+            sample_identifier="testsample",
+        )
+        text = out.getvalue()
+        lines = text.splitlines()
+        assert lines[0].startswith("# This is the bioboxes.org")
+        assert "@Version:0.9.1" in lines
+        assert "@SampleID:testsample" in lines
+        assert "@TaxonomyID:deadbeef" in lines
+        assert "@_TaxatorTK_Version:1.5.0" in lines
+        assert "@@SequenceID\tTaxID\t_TaxatorTK_Support\t_TaxatorTK_Length" in lines
+        body = [l for l in lines if l and not l.startswith(("#", "@"))]
+        assert len(body) == 2
+        # contig1: two segments combined; contig2 single -> upper node taxid
+        c1 = [l for l in body if l.startswith("contig1\t")][0]
+        c2 = [l for l in body if l.startswith("contig2\t")][0]
+        assert c2.split("\t")[1] == "22111"  # single record -> upper node
+        assert c2.split("\t")[3] == "300"
+        # contig1 consensus: threshold max(0.7*880,50)=616; direct support
+        # reaches 880 at genus+species; the binner reports the consensus
+        # UPPER node (binner.cpp:333-335) -> genus
+        assert c1.split("\t")[1] == "211111"
+        assert c1.split("\t")[3] == "1200"
+
+    def test_identity_constraint(self, tax, capsys):
+        out = io.StringIO()
+        run_binner(
+            tax,
+            [io.StringIO(GFF3_INPUT)],
+            out,
+            sample_identifier="s",
+            identity_constraints={"species": 0.99},
+        )
+        body = [
+            l
+            for l in out.getvalue().splitlines()
+            if l and not l.startswith(("#", "@"))
+        ]
+        c1 = [l for l in body if l.startswith("contig1\t")][0]
+        # 880/1200 = 0.73 < 0.99 -> constraint walk stops above species
+        assert c1.split("\t")[1] != "2111111"
+
+    def test_glob_regex(self, tax, capsys):
+        gff = (
+            "orf1_1\ttaxator-tk\tsequence_feature\t1\t100\t0\t.\t.\t"
+            "seqlen=100;tax=2111111:90-21111;rtax=2111111\n"
+            "orf1_2\ttaxator-tk\tsequence_feature\t1\t80\t0\t.\t.\t"
+            "seqlen=80;tax=2111112:70-21111;rtax=2111112\n"
+        )
+        out = io.StringIO()
+        run_binner(
+            tax,
+            [io.StringIO(gff)],
+            out,
+            sample_identifier="s",
+            glob_regex="([^_]+)_.*",
+        )
+        body = [
+            l
+            for l in out.getvalue().splitlines()
+            if l and not l.startswith(("#", "@"))
+        ]
+        assert len(body) == 1
+        assert body[0].startswith("orf1\t")
+        # lengths of distinct query ids summed
+        assert body[0].split("\t")[3] == "180"
