@@ -1,0 +1,121 @@
+"""Native (C++) host runtime components, loaded via ctypes.
+
+Built on demand with g++ (no pip deps).  Provides:
+  * Myers bit-vector edit distance (single pair + batch) — the CPU baseline
+    the TPU kernels are benchmarked against, and a host aligner fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "libtaxtk_native.so")
+_SRC = os.path.join(_HERE, "myers.cpp")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                _SRC,
+                "-o",
+                _LIB_PATH,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.taxtk_myers_edit_distance.restype = ctypes.c_int
+        lib.taxtk_myers_edit_distance.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib.taxtk_myers_batch.restype = None
+        lib.taxtk_myers_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return _lib
+
+
+def myers_edit_distance(a: np.ndarray, b: np.ndarray) -> int:
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    return lib.taxtk_myers_edit_distance(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(a),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(b),
+    )
+
+
+def myers_batch(pairs) -> np.ndarray:
+    """pairs: list of (a_codes, b_codes) uint8 arrays -> int32 distances."""
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    n = len(pairs)
+    a_flat = np.concatenate([np.ascontiguousarray(a, np.uint8) for a, _ in pairs]) if n else np.zeros(0, np.uint8)
+    b_flat = np.concatenate([np.ascontiguousarray(b, np.uint8) for _, b in pairs]) if n else np.zeros(0, np.uint8)
+    a_len = np.array([len(a) for a, _ in pairs], dtype=np.int32)
+    b_len = np.array([len(b) for _, b in pairs], dtype=np.int32)
+    a_off = np.zeros(n, dtype=np.int64)
+    b_off = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        a_off[1:] = np.cumsum(a_len[:-1])
+        b_off[1:] = np.cumsum(b_len[:-1])
+    out = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out
+    if len(a_flat) == 0:
+        a_flat = np.zeros(1, np.uint8)
+    if len(b_flat) == 0:
+        b_flat = np.zeros(1, np.uint8)
+    lib.taxtk_myers_batch(
+        a_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        a_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

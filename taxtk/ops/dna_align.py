@@ -40,6 +40,8 @@ def _edit_distance_kernel(a_ext, rbp, a_len, b_len):
     def shift_right(x):
         return jnp.concatenate([jnp.full((Bsz, 1), _BIG, x.dtype), x[:, :-1]], axis=1)
 
+    target_d = (a_len + b_len)[:, None]
+
     def step(carry, d):
         prev, prevprev, result = carry
         start = Mp1 + N - d
@@ -51,17 +53,20 @@ def _edit_distance_kernel(a_ext, rbp, a_len, b_len):
         )
         new = jnp.where(i_idx == 0, d, new)
         new = jnp.where(i_idx == d, d, new)
-        val = jnp.take_along_axis(new, a_len[:, None], axis=1)[:, 0]
-        result = jnp.where(d == a_len + b_len, val, result)
+        # row-copy harvest: the answer row is frozen at its target diagonal,
+        # the lane extraction happens once after the scan (gather-free steps)
+        result = jnp.where(d == target_d, new, result)
         return (new, prev, result), None
 
     prev0 = jnp.where(i_idx == 0, 0, _BIG) + jnp.zeros((Bsz, 1), jnp.int32)
     prevprev0 = jnp.zeros((Bsz, Mp1), jnp.int32)
-    result0 = jnp.maximum(a_len, b_len)  # covers a_len+b_len == 0 edge
+    result0 = jnp.broadcast_to(
+        jnp.maximum(a_len, b_len)[:, None], (Bsz, Mp1)
+    )  # covers a_len+b_len == 0 edge
     (_, _, result), _ = jax.lax.scan(
         step, (prev0, prevprev0, result0), jnp.arange(1, M + N + 1, dtype=jnp.int32)
     )
-    return result
+    return jnp.take_along_axis(result, a_len[:, None], axis=1)[:, 0]
 
 
 def batched_edit_distance(a_codes, b_codes, a_len, b_len):

@@ -80,30 +80,31 @@ def _protein_kernel(a_ext, rbp, a_len, b_len):
         new_ma = jnp.where(on_edge, 0, new_ma)
         new_dc = jnp.where(on_edge, 0, new_dc)
 
-        done = d == a_len + b_len
-        pick = lambda arr, old: jnp.where(
-            done, jnp.take_along_axis(arr, a_len[:, None], axis=1)[:, 0], old
-        )
+        # row-copy harvest (final lane gather happens after the scan)
+        done = d == (a_len + b_len)[:, None]
         res = (
-            pick(new_s, res[0]),
-            pick(new_ma, res[1]),
-            pick(new_dc, res[2]),
+            jnp.where(done, new_s, res[0]),
+            jnp.where(done, new_ma, res[1]),
+            jnp.where(done, new_dc, res[2]),
         )
         return (new_s, s_prev, new_ma, ma_prev, new_dc, dc_prev, res), None
 
     zeros = jnp.zeros((Bsz, Mp1), jnp.int32)
     s0 = jnp.where(i_idx == 0, 0, _NEG) + jnp.zeros((Bsz, 1), jnp.int32)
     res0 = (
-        gap * jnp.maximum(a_len, b_len),  # covers empty-sequence pairs
-        jnp.zeros((Bsz,), jnp.int32),
-        jnp.zeros((Bsz,), jnp.int32),
+        jnp.broadcast_to(
+            (gap * jnp.maximum(a_len, b_len))[:, None], (Bsz, Mp1)
+        ),  # covers empty-sequence pairs
+        zeros,
+        zeros,
     )
     (_, _, _, _, _, _, res), _ = jax.lax.scan(
         step,
         (s0, zeros, zeros, zeros, zeros, zeros, res0),
         jnp.arange(1, M + N + 1, dtype=jnp.int32),
     )
-    return res
+    pick = lambda arr: jnp.take_along_axis(arr, a_len[:, None], axis=1)[:, 0]
+    return pick(res[0]), pick(res[1]), pick(res[2])
 
 
 def batched_protein_align(a_codes, b_codes, a_len, b_len):

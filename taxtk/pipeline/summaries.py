@@ -1,0 +1,180 @@
+"""Binning summary generation.
+
+Python equivalents of the pipeline's shell/awk summary chain
+(reference: extended/lib/common.sh:131-174):
+  binning2taxpath   bioboxes body -> name-path TSV (taxknife -s path, sorted)
+  taxpath2taxsummary  per-taxon-path accumulated support/length
+  binning2vprofile  rank-of-assignment depth profile (sort | uniq -c)
+  binning2summary   writes .vprofile / .taxpath.tsv / .taxsummary.tsv and a
+                    self-contained HTML profile (Krona substitute)
+  taxonomy_version  md5 hash over sorted "taxid\tparent" pairs
+                    (reference: common.sh:176-184)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html
+import os
+from collections import Counter, OrderedDict
+from typing import Dict, List, TextIO, Tuple
+
+from ..constants import DEFAULT_RANKS
+from ..taxonomy.flat import FlatTaxonomy
+from ..utils.errors import TaxonNotFound
+
+
+def iter_binning_rows(stream: TextIO):
+    for raw in stream:
+        line = raw.rstrip("\n")
+        if not line or line.startswith(("@", "#")):
+            continue
+        fields = line.split("\t")
+        if len(fields) >= 4:
+            yield fields[0], fields[1], int(fields[2]), int(fields[3])
+
+
+def _name_path(tax: FlatTaxonomy, taxid: str) -> str:
+    try:
+        node = tax.node(taxid)
+    except TaxonNotFound:
+        return ""
+    parts = [
+        tax.name_of(c)
+        for c in tax.path_down(node)
+        if tax.rank_of(c) in DEFAULT_RANKS
+    ]
+    return ";".join(parts)
+
+
+def binning_to_taxpath(tax: FlatTaxonomy, rows) -> List[Tuple[str, str, int, int]]:
+    out = [(seqid, _name_path(tax, taxid), support, length) for seqid, taxid, support, length in rows]
+    # LC_COLLATE=C sort over the whole line (common.sh:136)
+    return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+def taxpath_to_taxsummary(taxpath_rows) -> List[Tuple[str, int, int]]:
+    acc: "OrderedDict[str, List[int]]" = OrderedDict()
+    for _, path, support, length in taxpath_rows:
+        if path not in acc:
+            acc[path] = [0, 0]
+        acc[path][0] += support
+        acc[path][1] += length
+    return sorted((p, s, l) for p, (s, l) in acc.items())
+
+
+def binning_to_vprofile(tax: FlatTaxonomy, rows) -> List[Tuple[int, str]]:
+    counts = Counter()
+    for _, taxid, _, _ in rows:
+        try:
+            counts[tax.rank_of(tax.node(taxid))] += 1
+        except TaxonNotFound:
+            counts["unknown"] += 1
+    return sorted(((n, rank) for rank, n in counts.items()), key=lambda t: t[1])
+
+
+def taxonomy_version_hash(nodes_path: str) -> str:
+    """md5 over sorted unique "taxid\tparent" pairs, skipping self-links
+    (reference: common.sh:176-184)."""
+    import gzip
+    import io
+
+    def openf(p):
+        with open(p, "rb") as probe:
+            if probe.read(2) == b"\x1f\x8b":
+                return io.TextIOWrapper(gzip.open(p, "rb"))
+        return open(p, "r")
+
+    pairs = set()
+    with openf(nodes_path) as fh:
+        for line in fh:
+            f = line.split("\t|\t")
+            if len(f) >= 2 and f[0] != f[1]:
+                pairs.add(f"{f[0]}\t{f[1]}")
+    blob = "".join(p + "\n" for p in sorted(pairs))
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def write_html_summary(taxsummary, out: TextIO, sample_name: str):
+    """Self-contained interactive HTML profile (Krona-substitute: nested
+    details/summary tree with support bars, zero external deps)."""
+    tree: Dict = {}
+    total = sum(s for _, s, _ in taxsummary) or 1
+    for path, support, length in taxsummary:
+        node = tree
+        for part in (path.split(";") if path else ["(root)"]):
+            entry = node.setdefault(
+                part, {"_children": {}, "_support": 0, "_length": 0}
+            )
+            entry["_support"] += support
+            entry["_length"] += length
+            node = entry["_children"]
+
+    def render(children: Dict, depth=0) -> str:
+        rows = []
+        for name, info in sorted(children.items(), key=lambda kv: -kv[1]["_support"]):
+            pct = 100.0 * info["_support"] / total
+            bar = (
+                f'<span class="bar" style="width:{pct:.1f}%"></span>'
+                f'<span class="lbl">{html.escape(name)}</span>'
+                f'<span class="num">{info["_support"]} bp ({pct:.1f}%)</span>'
+            )
+            if info["_children"]:
+                rows.append(
+                    f"<details{' open' if depth < 2 else ''}><summary>{bar}</summary>"
+                    f"{render(info['_children'], depth + 1)}</details>"
+                )
+            else:
+                rows.append(f"<div class='leaf'>{bar}</div>")
+        return "".join(rows)
+
+    out.write(
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{html.escape(sample_name)} taxonomic profile</title><style>"
+        "body{font-family:sans-serif;margin:2em;max-width:70em}"
+        "details{margin-left:1.2em}div.leaf{margin-left:2.4em}"
+        "summary{cursor:pointer;position:relative;padding:2px}"
+        ".bar{position:absolute;left:0;top:0;bottom:0;background:#cde4f7;z-index:-1;display:inline-block}"
+        ".lbl{font-weight:500;margin-right:.6em}.num{color:#666;font-size:.85em}"
+        "</style></head><body>"
+        f"<h1>{html.escape(sample_name)}</h1>"
+        f"<p>total assigned support: {total} positions</p>"
+        f"{render(tree)}</body></html>\n"
+    )
+
+
+def binning_to_summary(
+    tax: FlatTaxonomy, binning_path: str, sample_name: str, outdir: str
+) -> Dict[str, str]:
+    """Generate .vprofile, .taxpath.tsv, .taxsummary.tsv, .taxsummary.html
+    next to the binning file (reference: common.sh:161-174)."""
+    with open(binning_path) as fh:
+        rows = list(iter_binning_rows(fh))
+
+    paths = {}
+    vprofile = binning_to_vprofile(tax, rows)
+    p = os.path.join(outdir, sample_name + ".vprofile")
+    with open(p, "w") as fh:
+        for n, rank in vprofile:
+            fh.write(f"{n:7d} {rank}\n")
+    paths["vprofile"] = p
+
+    taxpath = binning_to_taxpath(tax, rows)
+    p = os.path.join(outdir, sample_name + ".taxpath.tsv")
+    with open(p, "w") as fh:
+        for seqid, path, support, length in taxpath:
+            fh.write(f"{seqid}\t{path}\t{support}\t{length}\n")
+    paths["taxpath"] = p
+
+    summary = taxpath_to_taxsummary(taxpath)
+    p = os.path.join(outdir, sample_name + ".taxsummary.tsv")
+    with open(p, "w") as fh:
+        for path, support, length in summary:
+            fh.write(f"{path}\t{support}\t{length}\n")
+    paths["taxsummary"] = p
+
+    p = os.path.join(outdir, sample_name + ".taxsummary.html")
+    with open(p, "w") as fh:
+        write_html_summary(summary, fh, sample_name)
+    paths["html"] = p
+    return paths

@@ -1,0 +1,195 @@
+"""End-to-end binning workflows (Python equivalents of the bash pipelines).
+
+run_binning_workflow mirrors binning-blast.bash / binning-last.bash /
+binning-blast-protein.bash (reference: extended/binning-*.bash): candidate
+alignment via an external aligner (blastn / lastal / blastp — gated on
+availability), then the in-process RPA engine, sorted GFF3, consensus
+binning, and summaries.  Stage outputs land in the working directory as
+restartable checkpoints exactly like the reference
+(sample.alignments.gz, sample.gff3, sample.binning).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import shutil
+import subprocess
+import sys
+from typing import Dict, Optional
+
+from ..constants import DEFAULT_RANKS
+from ..engine.executor import RpaEngine
+from ..engine.recordsets import iter_record_sets
+from ..formats.alignments import iter_alignment_records
+from ..formats.mapping import load_seqid_taxid_mapping
+from ..binning.binner import run_binner
+from ..refpack.store import IndexedFastaStore, InMemoryFastaStore
+from ..taxonomy.flat import parse_ncbi_flat_files
+from ..utils.errors import TaxtkError, FileError
+from .summaries import binning_to_summary, taxonomy_version_hash
+
+SAMPLE_NAME = "sample"
+
+
+class Refpack:
+    """Refpack layout contract (reference: extended/lib/common.sh:93-128):
+    refdata.fna(.fai), mapping.tax, ncbi-taxonomy/, aligner-index/."""
+
+    def __init__(self, root: str, protein: bool = False):
+        self.root = os.path.abspath(root)
+        ext = "faa" if protein else "fna"
+        self.refdata = os.path.join(self.root, f"refdata.{ext}")
+        self.refdata_index = self.refdata + ".fai"
+        self.mapping = os.path.join(self.root, "mapping.tax")
+        self.taxonomy_dir = os.path.join(self.root, "ncbi-taxonomy")
+        self.protein = protein
+        for p in (self.refdata, self.mapping, self.taxonomy_dir):
+            if not os.path.exists(p):
+                raise FileError("refpack incomplete", path=p)
+
+    def aligner_index(self, kind: str) -> str:
+        sub = {"blast": "aligner-index/blast/nuc",
+               "blast-protein": "aligner-index/blast/prot",
+               "last": "aligner-index/last/nuc"}[kind]
+        return os.path.join(self.root, sub)
+
+    def load_taxonomy(self, ranks=DEFAULT_RANKS):
+        def pick(base):
+            for cand in (base + ".gz", base):
+                p = os.path.join(self.taxonomy_dir, cand)
+                if os.path.exists(p):
+                    return p
+            raise FileError("taxonomy dump missing", path=base)
+
+        nodes = pick("nodes.dmp")
+        names = pick("names.dmp")
+        version_file = os.path.join(self.taxonomy_dir, "version.txt")
+        version = ""
+        if os.path.exists(version_file):
+            with open(version_file) as fh:
+                version = fh.readline().strip()
+        if not version:
+            version = taxonomy_version_hash(nodes)
+        tax = parse_ncbi_flat_files(nodes, names, version, ranks)
+        return tax
+
+
+def _which(prog: str) -> Optional[str]:
+    return shutil.which(prog)
+
+
+def run_aligner_blast(refpack: Refpack, input_fasta: str, out_path: str,
+                      algorithm: str = "dc-megablast", cores: int = 1,
+                      extra_options: str = "") -> None:
+    """blastn candidate generation (reference: binning-blast.bash:90-98)."""
+    exe = _which("blastp" if refpack.protein else "blastn")
+    if exe is None:
+        raise TaxtkError("external aligner not found (blastn/blastp); provide "
+                         "an alignments file instead")
+    cmd = [exe, "-db", refpack.aligner_index("blast-protein" if refpack.protein else "blast"),
+           "-outfmt", "6 qseqid qstart qend qlen sseqid sstart send bitscore evalue nident length",
+           "-query", input_fasta, "-num_threads", str(cores)]
+    if not refpack.protein:
+        cmd[1:1] = ["-task", algorithm]
+    if extra_options:
+        cmd.extend(extra_options.split())
+    with open(out_path, "w") as out:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, check=True, text=True)
+        # blast fields can contain spaces which must be removed (bash: tr -d ' ')
+        out.write(proc.stdout.replace(" ", ""))
+
+
+def run_binning_workflow(
+    refpack_dir: str,
+    input_fasta: str,
+    outdir: str,
+    alignments_file: Optional[str] = None,
+    protein: bool = False,
+    speedup: float = 0.5,
+    cores: int = 1,
+    glob_regex: Optional[str] = None,
+    macro_batch: int = 512,
+    aligner=None,
+) -> Dict[str, str]:
+    """The full ALIGN => PREDICT => BIN => SUMMARIZE chain.
+
+    When `alignments_file` is given the external-aligner stage is skipped
+    (equivalent to restarting from sample.alignments.gz).
+    """
+    refpack = Refpack(refpack_dir, protein=protein)
+    os.makedirs(outdir, exist_ok=True)
+    tax = refpack.load_taxonomy()
+    tax_pruned = tax.prune_to_marked_ranks(DEFAULT_RANKS)
+    mapping = load_seqid_taxid_mapping(refpack.mapping)
+
+    # stage 1: candidate alignments
+    aln_path = os.path.join(outdir, SAMPLE_NAME + ".alignments.gz")
+    if alignments_file:
+        src_open = gzip.open if alignments_file.endswith(".gz") else open
+        with src_open(alignments_file, "rt") as src, gzip.open(aln_path, "wt") as dst:
+            shutil.copyfileobj(src, dst)
+    else:
+        tmp = os.path.join(outdir, SAMPLE_NAME + ".alignments.tmp")
+        run_aligner_blast(refpack, input_fasta, tmp, cores=cores)
+        with open(tmp) as src, gzip.open(aln_path, "wt") as dst:
+            shutil.copyfileobj(src, dst)
+        os.unlink(tmp)
+
+    # stage 2: taxator (RPA)
+    query_store = InMemoryFastaStore(input_fasta)
+    db_store = IndexedFastaStore(refpack.refdata, refpack.refdata_index)
+
+    def resolved():
+        with gzip.open(aln_path, "rt") as fh:
+            for _, rec in iter_alignment_records(fh):
+                taxid = mapping.get(rec.reference_identifier)
+                if taxid is None:
+                    raise TaxtkError(
+                        "bad taxon mapping for alignment reference sequence",
+                        seqid=rec.reference_identifier,
+                    )
+                rec.reference_node = tax_pruned.node(taxid)
+                yield rec
+
+    engine = RpaEngine(
+        tax_pruned,
+        query_store,
+        db_store,
+        protein=protein,
+        exclude_factor=speedup,
+        macro_batch=macro_batch,
+        aligner=aligner,
+    )
+    gff3_unsorted = io.StringIO()
+    engine.run(iter_record_sets(resolved(), True, False), gff3_unsorted)
+
+    # sort -k1,1 (reference: binning-blast.bash:113)
+    lines = gff3_unsorted.getvalue().splitlines()
+    header = [l for l in lines if l.startswith("#")]
+    body = sorted(
+        (l for l in lines if l and not l.startswith("#")),
+        key=lambda l: l.split("\t", 1)[0],
+    )
+    gff3_path = os.path.join(outdir, SAMPLE_NAME + ".gff3")
+    with open(gff3_path, "w") as fh:
+        fh.write("\n".join(body) + "\n" if body else "")
+
+    # stage 3: binner
+    binning_path = os.path.join(outdir, SAMPLE_NAME + ".binning")
+    input_filename = os.path.basename(input_fasta)
+    regex = glob_regex or ("([^_]+)_.*" if protein else "(.+)")
+    with open(gff3_path) as src, open(binning_path, "w") as dst:
+        run_binner(
+            tax_pruned,
+            [src],
+            dst,
+            sample_identifier=input_filename,
+            glob_regex=regex,
+        )
+
+    # stage 4: summaries
+    paths = binning_to_summary(tax_pruned, binning_path, SAMPLE_NAME, outdir)
+    paths.update(alignments=aln_path, gff3=gff3_path, binning=binning_path)
+    return paths
