@@ -16,6 +16,7 @@ import numpy as np
 
 from ..models.rpa import AlignValue, f32
 from ..ops.dna_align import batched_edit_distance
+from ..ops.myers_batch import batched_edit_distance_myers
 from ..ops.protein_align import batched_protein_align
 
 
@@ -26,13 +27,35 @@ def _pow2ceil(x: int, minimum: int = 16) -> int:
     return n
 
 
+def _default_dna_backend() -> str:
+    try:
+        import jax
+
+        if jax.devices()[0].platform not in ("cpu",):
+            return "myers-pallas"
+    except Exception:
+        pass
+    return "myers"
+
+
 class BatchAligner:
     """mode: "dna" (edit distance + approximate stats) or "protein"
-    (BLOSUM62 NW + traceback stats)."""
+    (BLOSUM62 NW + traceback stats).
 
-    def __init__(self, mode: str = "dna", max_batch_cells: int = 1 << 28):
+    dna_backend: "myers" (XLA bit-parallel, portable), "myers-pallas"
+    (TPU kernel), or "wavefront" (anti-diagonal scan).  All are exact;
+    see ops/myers_batch.py for the algorithmic comparison.
+    """
+
+    def __init__(
+        self,
+        mode: str = "dna",
+        max_batch_cells: int = 1 << 28,
+        dna_backend: str | None = None,
+    ):
         assert mode in ("dna", "protein")
         self.mode = mode
+        self.dna_backend = dna_backend or _default_dna_backend()
         # cap on batch * M * N cells per launch to bound device memory
         self.max_batch_cells = max_batch_cells
         self.pairs_aligned = 0
@@ -85,7 +108,18 @@ class BatchAligner:
         self.cells_computed += int(a_len.sum() * 0 + (a_len * b_len).sum())
 
         if self.mode == "dna":
-            dist = np.asarray(batched_edit_distance(a_codes, b_codes, a_len, b_len))
+            if self.dna_backend == "myers":
+                dist = batched_edit_distance_myers(a_codes, b_codes, a_len, b_len)
+            elif self.dna_backend == "myers-pallas":
+                from ..ops.pallas_myers import batched_edit_distance_pallas_myers
+
+                dist = batched_edit_distance_pallas_myers(
+                    a_codes, b_codes, a_len, b_len
+                )
+            else:
+                dist = np.asarray(
+                    batched_edit_distance(a_codes, b_codes, a_len, b_len)
+                )
             lendiff = np.abs(a_len - b_len)
             mismatches = dist - lendiff
             matches = np.minimum(a_len, b_len) - mismatches

@@ -1,0 +1,151 @@
+"""Bit-parallel Myers edit distance, vectorized across the pair batch.
+
+The wavefront DP (dna_align.py) spends ~12 vector ops per DP cell.  Myers'
+bit-vector algorithm (Myers, JACM 1999; Hyyrö's block formulation) packs 32
+cells into each 32-bit lane: one (text-char x block) step costs ~20 bitwise
+ops for 32 cells, ~0.6 ops/cell — a ~20x algorithmic speedup that maps
+perfectly onto the TPU VPU with the BATCH in the lane dimension:
+
+  state  Pv/Mv  [K, B]  uint32  (K = pattern blocks of 32)
+  text           [N, B] int32   (transposed: step j loads one row)
+  peq      [K, A, B]    uint32  (pattern match masks, A = alphabet 5)
+
+Each scan step processes one text character for B pairs at once; horizontal
+delta carries (ph/mh) thread through the K blocks sequentially.  Per-pair
+ragged lengths: the score is harvested at each pair's own text length, and
+each pair's own last block/high bit contributes the +-1 updates.
+
+This module is the XLA (portable) version; pallas_myers.py is the TPU
+kernel with the same semantics.  Distances are exact global edit distances,
+identical to dna_align / the SeqAn-calibrated oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ALPHA = 5  # DNA5
+WORD = 32
+
+
+def build_peq(patterns: np.ndarray, m_len: np.ndarray, K: int) -> np.ndarray:
+    """patterns [B, M] uint8 codes, m_len [B] -> peq [K, ALPHA, B] uint32."""
+    B, M = patterns.shape
+    assert K * WORD >= M, (K, M)
+    pad = np.full((B, K * WORD), 255, np.uint8)
+    pad[:, :M] = patterns
+    mask = np.arange(K * WORD)[None, :] < m_len[:, None]
+    weights = (1 << np.arange(WORD, dtype=np.uint64)).astype(np.uint64)
+    peq = np.zeros((K, ALPHA, B), dtype=np.uint32)
+    for c in range(ALPHA):
+        hit = ((pad == c) & mask).reshape(B, K, WORD)
+        vals = (hit.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        peq[:, c, :] = vals.T.astype(np.uint32)
+    return peq
+
+
+def _precompute(a_codes, b_codes, a_len, b_len):
+    """Choose per-pair pattern = shorter sequence (reference kernel does the
+    same swap, taxonpredictionmodelsequence.hh:141-147); build peq, the
+    transposed text, and per-pair last-block high-bit masks."""
+    B = a_codes.shape[0]
+    swap = a_len > b_len
+    m_len = np.where(swap, b_len, a_len).astype(np.int32)
+    n_len = np.where(swap, a_len, b_len).astype(np.int32)
+    Mmax = int(m_len.max(initial=1))
+    Nmax = int(n_len.max(initial=1))
+    K = max(1, -(-Mmax // WORD))
+
+    patterns = np.full((B, max(Mmax, 1)), 255, np.uint8)
+    text = np.full((max(Nmax, 1), B), 31, np.int32)  # sentinel char
+    for i in range(B):
+        pat = b_codes[i, : b_len[i]] if swap[i] else a_codes[i, : a_len[i]]
+        txt = a_codes[i, : a_len[i]] if swap[i] else b_codes[i, : b_len[i]]
+        patterns[i, : len(pat)] = pat
+        text[: len(txt), i] = txt
+
+    peq = build_peq(patterns, m_len, K)
+    last_block = np.maximum(m_len - 1, 0) // WORD  # [B]
+    high_bit = np.uint32(1) << ((np.maximum(m_len, 1) - 1) % WORD).astype(np.uint32)
+    # hmask[k, b] = high-bit mask if k is b's last block else 0
+    hmask = np.where(
+        np.arange(K)[:, None] == last_block[None, :], high_bit[None, :], 0
+    ).astype(np.uint32)
+    return peq, text, hmask, m_len, n_len, K
+
+
+@jax.jit
+def _myers_kernel(peq, text, hmask, m_len, n_len):
+    """peq [K, A, B] u32, text [N, B] i32, hmask [K, B] u32 -> dist [B] i32."""
+    K, A, B = peq.shape
+    N = text.shape[0]
+    ones = jnp.uint32(0xFFFFFFFF)
+
+    def step(carry, tc):
+        pv, mv, score, result, j = carry  # pv/mv [K, B]
+        # select per-lane match masks for this text char
+        eq_all = jnp.zeros((K, B), jnp.uint32)
+        for c in range(ALPHA):
+            eq_all = jnp.where(tc[None, :] == c, peq[:, c, :], eq_all)
+
+        carry_ph = jnp.ones((B,), jnp.uint32)
+        carry_mh = jnp.zeros((B,), jnp.uint32)
+        new_pv = []
+        new_mv = []
+        delta = jnp.zeros((B,), jnp.int32)
+        for k in range(K):
+            eq0 = eq_all[k]
+            pv_k = pv[k]
+            mv_k = mv[k]
+            eq = eq0 | carry_mh
+            xv = eq | mv_k
+            add = (eq & pv_k) + pv_k  # u32 wraps
+            xh = (add ^ pv_k) | eq
+            ph = mv_k | ~(xh | pv_k)
+            mh = pv_k & xh
+            delta = delta + ((ph & hmask[k]) != 0).astype(jnp.int32)
+            delta = delta - ((mh & hmask[k]) != 0).astype(jnp.int32)
+            ph_shift = (ph << 1) | carry_ph
+            mh_shift = (mh << 1) | carry_mh
+            carry_ph = ph >> 31
+            carry_mh = mh >> 31
+            new_pv.append(mh_shift | ~(xv | ph_shift))
+            new_mv.append(ph_shift & xv)
+        pv = jnp.stack(new_pv)
+        mv = jnp.stack(new_mv)
+        score = score + delta
+        j = j + 1
+        result = jnp.where(j == n_len, score, result)
+        return (pv, mv, score, result, j), None
+
+    pv0 = jnp.full((K, B), ones, jnp.uint32)
+    mv0 = jnp.zeros((K, B), jnp.uint32)
+    score0 = m_len.astype(jnp.int32)
+    result0 = jnp.maximum(m_len, n_len).astype(jnp.int32)  # covers n == 0
+    (pv, mv, score, result, j), _ = jax.lax.scan(
+        step, (pv0, mv0, score0, result0, jnp.int32(0)), text
+    )
+    return result
+
+
+def batched_edit_distance_myers(a_codes, b_codes, a_len, b_len):
+    """Drop-in for dna_align.batched_edit_distance (XLA bit-parallel path)."""
+    a_codes = np.asarray(a_codes)
+    b_codes = np.asarray(b_codes)
+    a_len = np.asarray(a_len, np.int32)
+    b_len = np.asarray(b_len, np.int32)
+    peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
+    out = _myers_kernel(
+        jnp.asarray(peq),
+        jnp.asarray(text),
+        jnp.asarray(hmask),
+        jnp.asarray(m_len),
+        jnp.asarray(n_len),
+    )
+    # empty pattern: the bit machinery has no zero-width mode
+    return np.where(m_len == 0, n_len, np.asarray(out))

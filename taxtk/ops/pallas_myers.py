@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: bit-parallel Myers edit distance over pair batches.
+
+TPU mapping of myers_batch.py (same exact semantics): pairs tile into
+(8 sublane x 128 lane) blocks so each uint32 lane carries one pair's
+32-cell DP block; the grid is (pair_tiles, text_chunks) with the text
+dimension sequential — Pv/Mv/score state lives in VMEM scratch across
+chunks, so arbitrarily long texts stream through a bounded VMEM window.
+
+~20 VPU ops per (text char x 32-cell block) -> ~0.6 ops/DP-cell, versus
+~12 ops/cell for the wavefront formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .myers_batch import _precompute, ALPHA, WORD
+
+LANE = 128
+DEFAULT_SUB = 8
+
+
+def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
+    def kernel(
+        peq_ref,  # [K, ALPHA, SUB, LANE] u32
+        text_ref,  # [Tc, SUB, LANE] i32
+        hmask_ref,  # [K, SUB, LANE] u32
+        nlen_ref,  # [SUB, LANE] i32
+        mlen_ref,  # [SUB, LANE] i32
+        out_ref,  # [SUB, LANE] i32
+        pv_ref,  # scratch [K, SUB, LANE] u32
+        mv_ref,  # scratch [K, SUB, LANE] u32
+        score_ref,  # scratch [SUB, LANE] i32
+        res_ref,  # scratch [SUB, LANE] i32
+    ):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            pv_ref[:] = jnp.full((K, SUB, LANE), 0xFFFFFFFF, jnp.uint32)
+            mv_ref[:] = jnp.zeros((K, SUB, LANE), jnp.uint32)
+            score_ref[:] = mlen_ref[:]
+            res_ref[:] = jnp.maximum(mlen_ref[:], nlen_ref[:])
+
+        n_len = nlen_ref[:]
+        base_j = t * Tc
+
+        # the whole per-chunk state rides in loop-carried registers; VMEM
+        # scratch is only touched at chunk boundaries so the inner loop is a
+        # pure register/VPU dependency chain with pipelined peq/text loads
+        def stepj(jj, carry):
+            pvs, mvs, score, res = carry
+            tc = text_ref[jj]
+            delta = jnp.zeros((SUB, LANE), jnp.int32)
+            carry_ph = jnp.ones((SUB, LANE), jnp.uint32)
+            carry_mh = jnp.zeros((SUB, LANE), jnp.uint32)
+            new_pvs = []
+            new_mvs = []
+            for k in range(K):
+                eq0 = peq_ref[k, 0]
+                for c in range(1, ALPHA):
+                    eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
+                eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
+                pv_k = pvs[k]
+                mv_k = mvs[k]
+                eq = eq0 | carry_mh
+                xv = eq | mv_k
+                add = (eq & pv_k) + pv_k
+                xh = (add ^ pv_k) | eq
+                ph = mv_k | ~(xh | pv_k)
+                mh = pv_k & xh
+                hm = hmask_ref[k]
+                delta = delta + ((ph & hm) != 0).astype(jnp.int32)
+                delta = delta - ((mh & hm) != 0).astype(jnp.int32)
+                ph_shift = (ph << 1) | carry_ph
+                mh_shift = (mh << 1) | carry_mh
+                carry_ph = ph >> 31
+                carry_mh = mh >> 31
+                new_pvs.append(mh_shift | ~(xv | ph_shift))
+                new_mvs.append(ph_shift & xv)
+            score = score + delta
+            j = base_j + jj + 1
+            res = jnp.where(j == n_len, score, res)
+            return (tuple(new_pvs), tuple(new_mvs), score, res)
+
+        carry0 = (
+            tuple(pv_ref[k] for k in range(K)),
+            tuple(mv_ref[k] for k in range(K)),
+            score_ref[:],
+            res_ref[:],
+        )
+        pvs, mvs, score, res = jax.lax.fori_loop(0, Tc, stepj, carry0)
+        for k in range(K):
+            pv_ref[k] = pvs[k]
+            mv_ref[k] = mvs[k]
+        score_ref[:] = score
+        res_ref[:] = res
+
+        @pl.when(t == n_chunks - 1)
+        def _emit():
+            out_ref[:] = res
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB"))
+def _call(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
+    kernel = _make_kernel(K, Tc, n_chunks, SUB)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32),
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, SUB, LANE), lambda p, t: (0, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(peq, text, hmask, nlen, mlen)
+
+
+def batched_edit_distance_pallas_myers(
+    a_codes,
+    b_codes,
+    a_len,
+    b_len,
+    text_chunk: int = 512,
+    interpret: bool = False,
+    sub_tile: int = DEFAULT_SUB,
+):
+    """Drop-in for dna_align.batched_edit_distance (TPU bit-parallel path)."""
+    a_codes = np.asarray(a_codes)
+    b_codes = np.asarray(b_codes)
+    a_len = np.asarray(a_len, np.int32)
+    b_len = np.asarray(b_len, np.int32)
+    B = a_codes.shape[0]
+    peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
+    N = text.shape[0]
+
+    SUB = sub_tile
+    TILE = SUB * LANE
+    n_tiles = max(1, -(-B // TILE))
+    Bp = n_tiles * TILE
+    Tc = min(text_chunk, max(1, N))
+    n_chunks = max(1, -(-N // Tc))
+    Np = n_chunks * Tc
+
+    # reshape/pad to tiled layouts
+    def tile_pairs(arr, fill, dtype):
+        # [..., B] -> [..., n_tiles*SUB, LANE]
+        out = np.full(arr.shape[:-1] + (Bp,), fill, dtype)
+        out[..., :B] = arr
+        return out.reshape(arr.shape[:-1] + (n_tiles * SUB, LANE))
+
+    peq_t = tile_pairs(peq, 0, np.uint32)  # [K, A, n_tiles*SUB, LANE]
+    hmask_t = tile_pairs(hmask, 0, np.uint32)
+    mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
+    nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
+    text_p = np.full((Np, Bp), 31, np.int32)
+    text_p[:N, :B] = text
+    text_t = text_p.reshape(Np, n_tiles * SUB, LANE)
+
+    if interpret:
+        kernel_out = _call_interpret(
+            peq_t, text_t, hmask_t, nlen_t, mlen_t, K, Tc, n_chunks, n_tiles, SUB
+        )
+    else:
+        kernel_out = _call(
+            jnp.asarray(peq_t),
+            jnp.asarray(text_t),
+            jnp.asarray(hmask_t),
+            jnp.asarray(nlen_t),
+            jnp.asarray(mlen_t),
+            K,
+            Tc,
+            n_chunks,
+            n_tiles,
+            SUB,
+        )
+    out = np.asarray(kernel_out).reshape(Bp)[:B]
+    return np.where(m_len == 0, n_len, out)
+
+
+def _call_interpret(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
+    kernel = _make_kernel(K, Tc, n_chunks, SUB)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32),
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0)),
+            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0)),
+            pl.BlockSpec((K, SUB, LANE), lambda p, t: (0, p, 0)),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0)),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0)),
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+        ],
+        interpret=True,
+    )(
+        jnp.asarray(peq),
+        jnp.asarray(text),
+        jnp.asarray(hmask),
+        jnp.asarray(nlen),
+        jnp.asarray(mlen),
+    )

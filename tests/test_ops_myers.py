@@ -1,0 +1,76 @@
+"""Bit-parallel Myers kernels (XLA + Pallas interpret) vs oracle."""
+
+import random
+
+import numpy as np
+
+from taxtk.ops import oracle
+from taxtk.ops.myers_batch import batched_edit_distance_myers
+from taxtk.ops.pallas_myers import batched_edit_distance_pallas_myers
+from taxtk.refpack.store import encode_dna
+
+DNA = "ACGTN"
+
+
+def _batch(pairs):
+    B = len(pairs)
+    M = max((len(a) for a, _ in pairs), default=1) or 1
+    N = max((len(b) for _, b in pairs), default=1) or 1
+    ac = np.zeros((B, M), np.uint8)
+    bc = np.zeros((B, N), np.uint8)
+    al = np.zeros(B, np.int32)
+    bl = np.zeros(B, np.int32)
+    for i, (a, b) in enumerate(pairs):
+        ea, eb = encode_dna(a), encode_dna(b)
+        ac[i, : len(ea)] = ea
+        bc[i, : len(eb)] = eb
+        al[i] = len(ea)
+        bl[i] = len(eb)
+    return ac, bc, al, bl
+
+
+def _pairs(seed, n, lmax, lmin=0):
+    rng = random.Random(seed)
+    return [
+        (
+            "".join(rng.choice(DNA) for _ in range(rng.randint(lmin, lmax))),
+            "".join(rng.choice(DNA) for _ in range(rng.randint(lmin, lmax))),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_xla_myers_exact():
+    pairs = _pairs(1, 120, 260)
+    ac, bc, al, bl = _batch(pairs)
+    got = batched_edit_distance_myers(ac, bc, al, bl)
+    want = np.array(
+        [oracle.edit_distance(encode_dna(a), encode_dna(b)) for a, b in pairs]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_xla_myers_multiblock_boundaries():
+    # lengths straddling the 32-bit word boundaries
+    pairs = []
+    for m in (31, 32, 33, 63, 64, 65, 96, 127, 128, 129):
+        rng = random.Random(m)
+        a = "".join(rng.choice("ACGT") for _ in range(m))
+        b = "".join(rng.choice("ACGT") for _ in range(m + rng.randint(-3, 3)))
+        pairs.append((a, b))
+    ac, bc, al, bl = _batch(pairs)
+    got = batched_edit_distance_myers(ac, bc, al, bl)
+    want = np.array(
+        [oracle.edit_distance(encode_dna(a), encode_dna(b)) for a, b in pairs]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_myers_interpret_chunked():
+    pairs = _pairs(2, 24, 200)
+    ac, bc, al, bl = _batch(pairs)
+    got = batched_edit_distance_pallas_myers(ac, bc, al, bl, text_chunk=64, interpret=True)
+    want = np.array(
+        [oracle.edit_distance(encode_dna(a), encode_dna(b)) for a, b in pairs]
+    )
+    np.testing.assert_array_equal(got, want)
