@@ -113,16 +113,24 @@ def main(argv=None) -> int:
             db_store = _open_store(
                 args.ref_sequences, args.ref_sequences_index, whitelist
             )
-            engine = RpaEngine(
-                tax,
-                query_store,
-                db_store,
-                protein=protein,
-                exclude_factor=args.heuristic_cutoff,
-                toppercent=args.toppercent,
-                macro_batch=args.macro_batch,
-            )
-            engine.run(rsets, sys.stdout)
+            logsink = None
+            if args.logfile and args.logfile != "/dev/null":
+                logsink = open(args.logfile, "a")
+            try:
+                engine = RpaEngine(
+                    tax,
+                    query_store,
+                    db_store,
+                    protein=protein,
+                    exclude_factor=args.heuristic_cutoff,
+                    toppercent=args.toppercent,
+                    macro_batch=args.macro_batch,
+                    logsink=logsink,
+                )
+                engine.run(rsets, sys.stdout)
+            finally:
+                if logsink is not None:
+                    logsink.close()
         elif args.algorithm in ("dummy", "simple-lca", "megan-lca", "ic-megan-lca", "n-best-lca"):
             model = _make_lca_model(args, tax)
             sys.stdout.write(GFF3_HEADER + "\n")

@@ -93,6 +93,7 @@ class RpaEngine:
         toppercent: float = 0.05,
         macro_batch: int = 512,
         aligner: Optional[BatchAligner] = None,
+        logsink=None,
     ):
         self.tax = tax
         self.query_store = query_store
@@ -102,6 +103,7 @@ class RpaEngine:
         self.toppercent = toppercent
         self.macro_batch = macro_batch
         self.aligner = aligner or BatchAligner("protein" if protein else "dna")
+        self.logsink = logsink
 
     def run(self, recordsets: Iterable[list], out=sys.stdout) -> None:
         """Stream record sets -> GFF3 on `out` (serial-mode byte parity:
@@ -121,12 +123,17 @@ class RpaEngine:
         for task in self.process_batch(batch):
             task.fill_prediction(prec)
             out.write(prec.print_line() + "\n")
+            if self.logsink is not None and task.log_lines:
+                self.logsink.write("\n".join(task.log_lines) + "\n")
 
     def process_batch(self, recordsets: List[list]) -> List[RpaTask]:
         tasks = [
             RpaTask(self.tax, rs, self.exclude_factor, self.toppercent)
             for rs in recordsets
         ]
+        if self.logsink is not None:
+            for t in tasks:
+                t.logging = True
         caches = [
             SegmentCache(t, self.query_store, self.db_store, self.protein)
             for t in tasks

@@ -89,6 +89,40 @@ class RpaTask:
         self.pass1_anchor_count = 0
         # per-record counters (STATS parity, :479-486)
         self.counters = dict(p0=0, p0n=0, p1=0, p1n=0, p2=0, p2n=0)
+        # decision log (taxator -l, reference logsink; format parity with
+        # taxonpredictionmodelsequence.hh — timings are our own)
+        self.logging = False
+        self.log_lines: List[str] = []
+
+    # ------------------------------------------------------------------ logging
+    def _log(self, line: str):
+        if self.logging:
+            self.log_lines.append(line)
+
+    def _name(self, node: int) -> str:
+        return self.tax.name_of(node)
+
+    @staticmethod
+    def _f2(x) -> str:
+        # logsink uses std::fixed setprecision(2) (:347)
+        return "%.2f" % float(x)
+
+    def _log_aln(self, tag: str, left: str, right: str, dist, sim, extras: str = ""):
+        self._log(
+            f"    {tag}ALN {left} <=> {right}\tdist={self._f2(dist)}; "
+            f"sim={self._f2(sim)}{extras}"
+        )
+        self._log("")  # the streamed (empty for DNA) alignment + endl
+
+    def _log_stats(self, qrseqname: str, n: int):
+        c = self.counters
+        g = c["p0"] + c["p1"] + c["p2"]
+        nrt = self._f2(g / n) if n else ".0"
+        self._log(
+            f"STATS\t{qrseqname}\t{n}\t{c['p0']}\t{c['p1']}\t{c['p2']}\t{g}"
+            f"\t0\t0\t0\t{nrt}"
+        )
+        self._log("")
 
     # ------------------------------------------------------------------ helpers
     def _lca(self, a: int, b: int) -> int:
@@ -110,11 +144,28 @@ class RpaTask:
         n = len(active)
 
         if n == 0:  # unclassified (:359-368)
+            qrseqname = f"-1:-1@{self.qid}"
+            root_name = self._name(self._root)
+            self._log(f"ID\t{qrseqname}")
+            self._log(f"  NUMREF\t{n}")
+            self._log("")
+            self._log(f"    RANGE\t{root_name}\t{root_name}\t{root_name}")
+            self._log("")
+            self._log(f"STATS\t{qrseqname}\t{n}\t0\t0\t0\t0\t0\t0\t0\t.0")
+            self._log("")
             self.result = dict(kind="unclassified")
             return []
 
         if n == 1:  # single alignment pass-through (:371-388)
             rec = active[0]
+            qrseqname = f"{rec.query_start}:{rec.query_stop}@{self.qid}"
+            name = self._name(rec.reference_node)
+            self._log(f"ID\t{qrseqname}")
+            self._log(f"  NUMREF\t{n}")
+            self._log(f"  RANGE\t{name}\t{name}\t{self._name(self._root)}")
+            self._log("")
+            self._log(f"STATS\t{qrseqname}\t{n}\t0\t0\t0\t0\t0\t0\t0\t.0")
+            self._log("")
             self.result = dict(
                 kind="single",
                 qrstart=rec.query_start,
@@ -131,6 +182,10 @@ class RpaTask:
         self.qrstart = min(r.query_start for r in active)
         self.qrstop = max(r.query_stop for r in active)
         self.qrlength = self.qrstop - self.qrstart + 1
+
+        self.qrseqname = f"{self.qrstart}:{self.qrstop}@{self.qid}"
+        self._log(f"ID\t{self.qrseqname}")
+        self._log(f"  NUMREF\t{n}")
 
         # stable sort desc by (score, identities) (:412, alignmentsfilter.hh:172)
         self.records = sorted(
@@ -155,17 +210,34 @@ class RpaTask:
                     break
                 searchscore = records[i].score
                 if searchscore == searchscore_best:
-                    lnode = self._lca(lnode, records[i].reference_node)
+                    cnode = records[i].reference_node
+                    lnode = self._lca(lnode, cnode)
+                    self._log(
+                        f"    current ref/lower node: ({self._f2(searchscore)}) "
+                        f"{self._name(lnode)} (+ {self._name(cnode)} )"
+                    )
                 else:
                     uscore = searchscore
                     unode = lnode
                     while True:
-                        unode = self._lca(unode, records[i].reference_node)
+                        cnode = records[i].reference_node
+                        unode = self._lca(unode, cnode)
+                        self._log(
+                            f"    current upper node: ({self._f2(uscore)}) "
+                            f"{self._name(unode)} (+ {self._name(cnode)} at "
+                            f"{int(self.tax.depth[self._lca(cnode, lnode)])} )"
+                        )
                         i += 1
                         if not (i < n and records[i].score == uscore):
                             break
                     break
                 i += 1
+            self._log(
+                f"  RANGE\t{self._name(lnode)}\t{self._name(lnode)}\t{self._name(unode)}"
+            )
+            self._log("")
+            self._log(f"STATS\t{self.qrseqname}\t{n}\t0\t0\t0\t0\t0\t0\t0\t.0")
+            self._log("")
             self.result = dict(
                 kind="exact",
                 qrstart=self.qrstart,
@@ -208,13 +280,21 @@ class RpaTask:
         anchors_support = 0
         lca_allnodes = records[0].reference_node
 
+        self._log("")
+        self._log("  PASS\t0")
         for i, rec in enumerate(records):
+            qsearchpid = rec.identities / self.qrlength
             if self._pass0_exact[i]:
                 if i not in qgroup:
                     qgroup.append(i)
                 dist = f32(0.0)
                 sim = f32(rec.identities)
                 self.counters["p0n"] += 1
+                self._log(
+                    f"    *ALN {i} <=> query\tdist={self._f2(dist)}; "
+                    f"sim={self._f2(sim)}; qsearchscore={self._f2(rec.score)}; "
+                    f"qsearchmatch={rec.identities}; qpid=1.0"
+                )
             elif self._pass0_aligned[i]:
                 qgroup.append(i)
                 aln = cache[("q", i, -1)]
@@ -222,6 +302,14 @@ class RpaTask:
                 sim = max(aln.similarity, f32(rec.identities))
                 self.counters["p0"] += 1
                 self.counters["p0n"] += 1
+                self._log(
+                    f"    +ALN {i} <=> query\tdist={self._f2(dist)}; "
+                    f"sim={self._f2(sim)}; qsearchscore={self._f2(rec.score)}; "
+                    f"qsearchmatch={rec.identities}; "
+                    f"qsearchpid={self._f2(qsearchpid)}; "
+                    f"qpid={self._f2(float(sim) / self.qrlength)}"
+                )
+                self._log("")
             else:
                 dist = FLT_MAX
                 sim = f32(rec.identities)
@@ -251,8 +339,18 @@ class RpaTask:
                 or records[i].score != records[index_best].score
             ):
                 continue
-            rtax = self._lca(rtax, records[i].reference_node)
+            cnode = records[i].reference_node
+            rtax = self._lca(rtax, cnode)
+            self._log(
+                f"      current ref node: ({self._f2(self.querydistance[i])}) "
+                f"{self._name(rtax)} (+ {self._name(cnode)} )"
+            )
             kept.append(i)
+        self._log(
+            f"    NUMALN\t{self.counters['p0']}\t"
+            f"{self.counters['p0n'] - self.counters['p0']}"
+        )
+        self._log("")
         self.qgroup = kept
         self.rtax = rtax
         self.lca_allnodes = lca_allnodes
@@ -284,6 +382,7 @@ class RpaTask:
         unode_global = self.unode_global
         bandfactor_max = f32(1.0)
 
+        self._log("  PASS\t1")
         while True:  # do-while over anchors (:580-729)
             self.pass1_anchor_count += 1
             band_data: List[Tuple[f32, int]] = []
@@ -296,6 +395,7 @@ class RpaTask:
             ldist = f32(0.0)
             udist = FLT_MAX
             outgroup_tmp: List[Tuple[int, int]] = []  # (index, int-dist) (:592)
+            self._log(f"      query: ({self._f2(qdist)}) unknown")
             self.counters["p1n"] += n - 1
 
             qpid_upper = 0.0
@@ -321,8 +421,22 @@ class RpaTask:
                         # triangle relation (:620-623)
                         dist = self.querydistance[index_anchor]
                     else:
-                        dist = cache[("s", i, index_anchor)].distance
+                        aln = cache[("s", i, index_anchor)]
+                        dist = aln.distance
                         self.counters["p1"] += 1
+                        self._log_aln(
+                            "+",
+                            str(i),
+                            str(index_anchor),
+                            dist,
+                            aln.similarity,
+                            f"; qsearchscore={self._f2(records[i].score)}; "
+                            f"qsearchmatch={records[i].identities}; "
+                            f"qsearchpid={self._f2(qsearchpid)}; qpid={self._f2(qpid)}; "
+                            f"qsearchscore_cut={qsearchscore_thresh_heuristic}; "
+                            f"qpid_cutg={self._f2(qpid_thresh_guarantee)}; "
+                            f"qpid_cut_h={self._f2(qpid_thresh_heuristic)}",
+                        )
 
                     band_data.append((dist, cnode))
 
@@ -334,6 +448,11 @@ class RpaTask:
                             lnode = self._lca(lnode, cnode)
                             if dist > ldist:
                                 ldist = dist
+                            self._log(
+                                f"      current lower node: ({self._f2(dist)}) "
+                                f"{self._name(lnode)} (+ {self._name(cnode)} at "
+                                f"{int(self.tax.depth[self._lca(cnode, rnode)])} )"
+                            )
                         else:
                             if dist < udist:
                                 udist = dist
@@ -353,6 +472,11 @@ class RpaTask:
             bandfactor = self._band_factor(band_data, rnode)
             bandfactor_max = max(bandfactor_max, bandfactor)
             qdist_ex = f32(qdist * bandfactor)
+            self._log("")
+            self._log(
+                f"    EXT\tquerydist = {self._f2(qdist)}; threshold = "
+                f"{self._f2(qdist_ex)}; bandfactor = {self._f2(bandfactor)}"
+            )
             min_upper_dist = INT_MAX_AS_F32  # quirk: INT_MAX, not FLT_MAX (:670)
 
             # outgroup curation (:673-687)
@@ -380,6 +504,11 @@ class RpaTask:
                 if dist > min_upper_dist:
                     continue
                 unode = self._lca(cnode, unode)
+                self._log(
+                    f"      current upper node: ({self._f2(dist)}) "
+                    f"{self._name(unode)} (+ {self._name(cnode)} at "
+                    f"{int(self.tax.depth[self._lca(cnode, rnode)])} )"
+                )
                 lca_root_dist = int(self.tax.depth[self._lca(cnode, self.rtax)])
                 if lca_root_dist > lca_root_dist_min:
                     continue
@@ -393,6 +522,13 @@ class RpaTask:
             ival = f32(0.0)
             if unode != lnode and ldist < qdist:
                 ival = f32((qdist - ldist) / f32(udist - ldist))
+            self._log("")
+            self._log(
+                f"    SCORE\tldist = {self._f2(ldist)}; udist = {self._f2(udist)}; "
+                f"querydist = {self._f2(qdist)}; querydist_ex = {self._f2(qdist_ex)}; "
+                f"ival = {self._f2(ival)}"
+            )
+            self._log("")
 
             ival_global = max(ival, ival_global)
             unode_global = self._lca(unode_global, unode)
@@ -401,6 +537,16 @@ class RpaTask:
             if not (qgroup and lnode_global != root):
                 break
 
+        self._log(
+            f"    NUMALN\t{self.counters['p1']}\t"
+            f"{self.counters['p1n'] - self.counters['p1']}"
+        )
+        self._log(f"    NUMOUTGRP\t{len(outgroup)}")
+        self._log(
+            f"    RANGE\t{self._name(self.rtax)}\t{self._name(lnode_global)}"
+            f"\t{self._name(unode_global)}"
+        )
+        self._log("")
         self.outgroup = sorted(outgroup)
         self.ival_global = ival_global
         self.lnode_global = lnode_global
@@ -456,6 +602,7 @@ class RpaTask:
         exclude = self.exclude_factor
         outgroup = list(self.outgroup)
         unode_global = self.unode_global
+        self._log("  PASS\t2")
 
         while outgroup:
             index_anchor = outgroup.pop(0)
@@ -489,7 +636,18 @@ class RpaTask:
                         ):
                             i += 1
                             continue
-                        dist = cache[("s", i, index_anchor)].distance
+                        aln2 = cache[("s", i, index_anchor)]
+                        dist = aln2.distance
+                        self._log_aln(
+                            "+",
+                            str(i),
+                            str(index_anchor),
+                            dist,
+                            aln2.similarity,
+                            f"; qsearchscore={self._f2(records[i].score)}; "
+                            f"qsearchmatch={records[i].identities}; "
+                            f"qpid={self._f2(qpid)}",
+                        )
                         self.counters["p2"] += 1
                         self.querydistance[i] = dist
 
@@ -514,11 +672,28 @@ class RpaTask:
                             )
                         if dist <= qdist_ex:
                             unode_global = self._lca(unode_global, cnode)
+                            self._log(
+                                f"      current upper node: ({self._f2(dist)}) "
+                                f"{self._name(unode_global)} (+ {self._name(cnode)} at "
+                                f"{int(self.tax.depth[self._lca(cnode, records[index_anchor].reference_node)])} )"
+                            )
                 i += 1
+
+        self._log(
+            f"    NUMALN\t{self.counters['p2']}\t"
+            f"{self.counters['p2n'] - self.counters['p2']}"
+        )
 
         ival_global = self.ival_global
         if unode_global == self.lnode_global:
             ival_global = f32(1.0)
+
+        self._log(
+            f"    RANGE\t{self._name(self.rtax)}\t{self._name(self.lnode_global)}"
+            f"\t{self._name(unode_global)}"
+        )
+        self._log("")
+        self._log_stats(self.qrseqname, n)
 
         self.result = dict(
             kind="full",
