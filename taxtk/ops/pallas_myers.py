@@ -25,6 +25,17 @@ from .myers_batch import _precompute, ALPHA, WORD
 
 LANE = 128
 DEFAULT_SUB = 8
+# canonical launch shapes: a fixed pair-tile group per kernel call and
+# pow2-padded K / text chunks keep the set of compiled variants tiny
+# (remote TPU compiles are expensive; see also the persistent cache below)
+GROUP_TILES = 8
+
+
+def _pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
 
 
 def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
@@ -157,12 +168,26 @@ def batched_edit_distance_pallas_myers(
     peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
     N = text.shape[0]
 
+    K = _pow2(K)  # pad pattern blocks (zero peq/hmask blocks are inert)
+    if K > peq.shape[0]:
+        peq = np.concatenate(
+            [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
+        )
+        hmask = np.concatenate(
+            [hmask, np.zeros((K - hmask.shape[0],) + hmask.shape[1:], np.uint32)]
+        )
+
     SUB = sub_tile
     TILE = SUB * LANE
     n_tiles = max(1, -(-B // TILE))
+    if not interpret:
+        # canonical group size -> stable compiled shape
+        n_tiles = max(GROUP_TILES, _pow2(n_tiles))
     Bp = n_tiles * TILE
-    Tc = min(text_chunk, max(1, N))
+    Tc = min(text_chunk, _pow2(max(1, N)))
     n_chunks = max(1, -(-N // Tc))
+    if not interpret:
+        n_chunks = _pow2(n_chunks)
     Np = n_chunks * Tc
 
     # reshape/pad to tiled layouts
