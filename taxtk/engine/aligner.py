@@ -77,13 +77,27 @@ class BatchAligner:
                 work.append(k)
 
         buckets: Dict[Tuple[int, int], List[int]] = {}
-        for k in work:
-            a, b = pairs[k]
-            key = (_pow2ceil(len(a)), _pow2ceil(len(b)))
-            buckets.setdefault(key, []).append(k)
+        if self.mode == "dna" and self.dna_backend in ("myers", "myers-pallas"):
+            # Myers cost is pairs x text x ceil(pattern/32): only the text
+            # length needs bucketing; everything else pads internally.  Far
+            # fewer buckets => fewer kernel rounds and device readbacks.
+            for k in work:
+                a, b = pairs[k]
+                key = (0, _pow2ceil(max(len(a), len(b))))
+                buckets.setdefault(key, []).append(k)
+        else:
+            for k in work:
+                a, b = pairs[k]
+                key = (_pow2ceil(len(a)), _pow2ceil(len(b)))
+                buckets.setdefault(key, []).append(k)
 
         for (M, N), idxs in buckets.items():
-            max_pairs = max(1, self.max_batch_cells // (M * N))
+            if M == 0:
+                # Myers bucket: word-packed cost is ~cells/32
+                M = N
+                max_pairs = max(1, self.max_batch_cells // max(1, (M * N) // 32))
+            else:
+                max_pairs = max(1, self.max_batch_cells // (M * N))
             for off in range(0, len(idxs), max_pairs):
                 chunk = idxs[off : off + max_pairs]
                 self._run_bucket(pairs, chunk, M, N, results)

@@ -21,6 +21,79 @@ def first_unmasked(recordset):
     return None
 
 
+class MaxBitscoreAlignmentFilter:
+    """Pseudo-filter collecting the best-scoring records
+    (reference: alignmentsfilter.hh:55-108)."""
+
+    def __init__(self):
+        self.best_records: List[AlignmentRecord] = []
+
+    def filter(self, recordset):
+        self.best_records = []
+        unmasked = [r for r in recordset if not r.masked]
+        if not unmasked:
+            return
+        max_bs = max(float(r.score) for r in unmasked)
+        self.best_records = [r for r in unmasked if float(r.score) == max_bs]
+
+    def get_best(self):
+        return self.best_records[0] if self.best_records else None
+
+
+class MinMaxBitscoreFilter:
+    """Pseudo-filter recording the min/max score
+    (reference: alignmentsfilter.hh:116-164)."""
+
+    def __init__(self):
+        self.min_bitscore = 0.0
+        self.max_bitscore = 0.0
+
+    def filter(self, recordset):
+        scores = [float(r.score) for r in recordset if not r.masked]
+        self.min_bitscore = min(scores) if scores else 0.0
+        self.max_bitscore = max(scores) if scores else 0.0
+
+
+class CleanseFDistAlignmentFilter:
+    """Experimental combined score+tree-distance filter
+    (reference: alignmentsfilter.hh:196-254): keep a core set within a
+    score band, mask the rest when (score distance + normalized taxonomy
+    distance)/2 exceeds the cutoff."""
+
+    def __init__(self, tax: FlatTaxonomy, t1: float, t2: float):
+        self.tax = tax
+        self.coreset_threshold = 1.0 - t1
+        self.cutoff = t2
+        self._sort = SortFilter()
+
+    def filter(self, recordset):
+        if not recordset:
+            return
+        self._sort.filter(recordset)
+        it = [r for r in recordset if not r.masked]
+        if not it:
+            return
+        best_bs = float(it[0].score)
+        bestnodes = []
+        rest_start = 0
+        for k, r in enumerate(it):
+            if float(r.score) >= self.coreset_threshold * best_bs:
+                bestnodes.append(r.reference_node)
+                rest_start = k + 1
+            else:
+                break
+        from ..constants import DEFAULT_RANKS
+
+        for r in it[rest_start:]:
+            bs_dist = 1.0 - float(r.score) / best_bs
+            c_sum = sum(
+                self.tax.inter_distances(r.reference_node, n)[2] for n in bestnodes
+            )
+            tree_dist = c_sum / float(len(bestnodes) * len(DEFAULT_RANKS))
+            if (bs_dist + tree_dist) / 2.0 > self.cutoff:
+                r.masked = True
+
+
 class SortFilter:
     """Stable sort desc by (score, identities), masked included
     (reference: alignmentsfilter.hh:172-190)."""

@@ -68,7 +68,7 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
         # pure register/VPU dependency chain with pipelined peq/text loads
         def stepj(jj, carry):
             pvs, mvs, score, res = carry
-            tc = text_ref[jj]
+            tc = text_ref[jj].astype(jnp.int32)
             delta = jnp.zeros((SUB, LANE), jnp.int32)
             carry_ph = jnp.ones((SUB, LANE), jnp.uint32)
             carry_mh = jnp.zeros((SUB, LANE), jnp.uint32)
@@ -168,7 +168,8 @@ def batched_edit_distance_pallas_myers(
     peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
     N = text.shape[0]
 
-    K = _pow2(K)  # pad pattern blocks (zero peq/hmask blocks are inert)
+    K = max(1, -(-K // 8) * 8) if K > 4 else _pow2(K)
+    # pad pattern blocks to a small shape set (zero peq/hmask blocks inert)
     if K > peq.shape[0]:
         peq = np.concatenate(
             [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
@@ -201,7 +202,7 @@ def batched_edit_distance_pallas_myers(
     hmask_t = tile_pairs(hmask, 0, np.uint32)
     mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
     nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
-    text_p = np.full((Np, Bp), 31, np.int32)
+    text_p = np.full((Np, Bp), 31, np.int8)
     text_p[:N, :B] = text
     text_t = text_p.reshape(Np, n_tiles * SUB, LANE)
 

@@ -181,6 +181,49 @@ class FlatTaxonomy:
             acc = self.lcc(acc, n)
         return acc
 
+    def path_length(self, a: int, b: int):
+        """(steps from B down to LCA-side, steps from A) — reference
+        getPathLength semantics (taxonomyinterface.cpp:109-123)."""
+        a, b = int(a), int(b)
+        if a == b:
+            return (0, 0)
+        if self.is_parent_of(a, b):
+            return (int(self.depth[b]) - int(self.depth[a]), 0)
+        if self.is_parent_of(b, a):
+            return (0, int(self.depth[a]) - int(self.depth[b]))
+        lca = int(self.lca(a, b))
+        return (
+            int(self.depth[b]) - int(self.depth[lca]),
+            int(self.depth[a]) - int(self.depth[lca]),
+        )
+
+    def inter_distances(self, a: int, b: int):
+        """(dist A->LCA, LCA depth, dist B->LCA) — reference
+        getInterDistances (taxonomyinterface.cpp:135-149)."""
+        a, b = int(a), int(b)
+        if a == b:
+            return (0, int(self.depth[a]), 0)
+        if self.is_parent_of(b, a):
+            return (int(self.depth[a]) - int(self.depth[b]), int(self.depth[b]), 0)
+        if self.is_parent_of(a, b):
+            return (0, int(self.depth[a]), int(self.depth[b]) - int(self.depth[a]))
+        lca = int(self.lca(a, b))
+        return (
+            int(self.depth[a]) - int(self.depth[lca]),
+            int(self.depth[lca]),
+            int(self.depth[b]) - int(self.depth[lca]),
+        )
+
+    def name_at_rank(self, idx: int, rank: str) -> str:
+        """Name of the ancestor at the given rank, or the root's name
+        (reference: taxonomyinterface.cpp:174-189)."""
+        node = int(idx)
+        while node != self.ROOT:
+            if self.rank_of(node) == rank:
+                return self.name_of(node)
+            node = int(self.parent[node])
+        return self.name_of(node)
+
     def map_unclassified(self, idx: int) -> int:
         """Walk up until a classified node (taxonomyinterface.cpp:193-197)."""
         idx = int(idx)
