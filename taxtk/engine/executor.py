@@ -107,17 +107,43 @@ class RpaEngine:
 
     def run(self, recordsets: Iterable[list], out=sys.stdout) -> None:
         """Stream record sets -> GFF3 on `out` (serial-mode byte parity:
-        single persistent PredictionRecord, see models/rpa.py quirk notes)."""
+        single persistent PredictionRecord, see models/rpa.py quirk notes).
+
+        The next macro-batch is parsed on a background thread while the
+        current one runs its device rounds (the analog of the reference's
+        producer thread, taxator.cpp:100-122, with the batch as the unit)."""
+        import threading
+        from queue import Queue
+
         out.write(GFF3_HEADER + "\n")
         prec = PredictionRecord(self.tax)  # persistent across records
-        batch: List[list] = []
-        for rset in recordsets:
-            batch.append(rset)
-            if len(batch) >= self.macro_batch:
-                self._flush(batch, prec, out)
-                batch = []
-        if batch:
-            self._flush(batch, prec, out)
+
+        q: "Queue" = Queue(maxsize=2)
+
+        def producer():
+            batch: List[list] = []
+            try:
+                for rset in recordsets:
+                    batch.append(rset)
+                    if len(batch) >= self.macro_batch:
+                        q.put(batch)
+                        batch = []
+                if batch:
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:  # propagate parse errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            self._flush(item, prec, out)
+        t.join()
 
     def _flush(self, batch: List[list], prec: PredictionRecord, out) -> None:
         for task in self.process_batch(batch):
