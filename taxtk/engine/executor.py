@@ -50,30 +50,45 @@ class SegmentCache:
             self._qrseq = self._encode(raw)
         return self._qrseq
 
+    def segment_spec(self, i: int):
+        """(refid, start, stop, revcomp) with query-overhang extension
+        (reference: taxonpredictionmodelsequence.hh:856-880)."""
+        rec = self.task.records[i]
+        left_ext = rec.query_start - self.task.qrstart
+        right_ext = self.task.qrstop - rec.query_stop
+        start, stop = rec.reference_start, rec.reference_stop
+        if not self.protein and start > stop:
+            # reverse complement: swapped coords (doc/fileformats.md:30)
+            newstart = stop - right_ext if right_ext < stop else 1
+            newstop = start + left_ext
+            return (rec.reference_identifier, newstart, newstop, True)
+        newstart = start - left_ext if left_ext < start else 1
+        newstop = stop + right_ext
+        return (rec.reference_identifier, newstart, newstop, False)
+
     def segment(self, i: int) -> np.ndarray:
         seg = self._segments.get(i)
         if seg is None:
-            rec = self.task.records[i]
-            left_ext = rec.query_start - self.task.qrstart
-            right_ext = self.task.qrstop - rec.query_stop
-            start, stop = rec.reference_start, rec.reference_stop
-            if not self.protein and start > stop:
-                # reverse complement: swapped coords (doc/fileformats.md:30)
-                newstart = stop - right_ext if right_ext < stop else 1
-                newstop = start + left_ext
-                raw = self.db_store.get_sequence(
-                    rec.reference_identifier, newstart, newstop
-                )
-                seg = revcomp_dna(self._encode(raw))
-            else:
-                newstart = start - left_ext if left_ext < start else 1
-                newstop = stop + right_ext
-                raw = self.db_store.get_sequence(
-                    rec.reference_identifier, newstart, newstop
-                )
-                seg = self._encode(raw)
+            refid, newstart, newstop, rc = self.segment_spec(i)
+            raw = self.db_store.get_sequence(refid, newstart, newstop)
+            seg = self._encode(raw)
+            if rc:
+                seg = revcomp_dna(seg)
             self._segments[i] = seg
         return seg
+
+    def missing_segments(self, keys) -> List[int]:
+        need = set()
+        for kind, i, j in keys:
+            if i not in self._segments:
+                need.add(i)
+            if kind == "s" and j not in self._segments:
+                need.add(j)
+        return sorted(need)
+
+    def store_segments(self, idxs, arrays):
+        for i, arr in zip(idxs, arrays):
+            self._segments[i] = arr
 
     def pair_sequences(self, key: PairKey) -> Tuple[np.ndarray, np.ndarray]:
         kind, i, j = key
@@ -196,7 +211,28 @@ class RpaEngine:
                     flat.append((ti, key))
         if not flat:
             return
+        self._prefetch_segments(caches, flat)
         pairs = [caches[ti].pair_sequences(key) for ti, key in flat]
         values = self.aligner.align_pairs(pairs)
         for (ti, key), val in zip(flat, values):
             pair_caches[ti][key] = val
+
+    def _prefetch_segments(self, caches, flat) -> None:
+        """Batch all missing reference-segment fetches of this round through
+        the store's native batched fetcher when available."""
+        if not hasattr(self.db_store, "fetch_encode_batch"):
+            return
+        by_task: Dict[int, List[PairKey]] = {}
+        for ti, key in flat:
+            by_task.setdefault(ti, []).append(key)
+        specs = []
+        owners: List[Tuple[int, int]] = []
+        for ti, keys in by_task.items():
+            for i in caches[ti].missing_segments(keys):
+                specs.append(caches[ti].segment_spec(i))
+                owners.append((ti, i))
+        if not specs:
+            return
+        arrays = self.db_store.fetch_encode_batch(specs, protein=self.protein)
+        for (ti, i), arr in zip(owners, arrays):
+            caches[ti]._segments[i] = arr

@@ -177,6 +177,19 @@ class IndexedFastaStore:
             except OSError:
                 pass  # read-only location: keep in-memory index
         self._fh = open(fasta_filename, "rb")
+        self._native = None
+        try:
+            from ..native.faidx import NativeFaidx
+
+            self._native = NativeFaidx(
+                fasta_filename,
+                self.index.lengths,
+                self.index.offsets,
+                self.index.line_bases,
+                self.index.line_widths,
+            )
+        except Exception:
+            self._native = None
 
     def close(self):
         self._fh.close()
@@ -210,6 +223,28 @@ class IndexedFastaStore:
         raw = self._fh.read(byte_end - byte_start)
         # strip line terminators
         return raw.replace(b"\n", b"").replace(b"\r", b"")
+
+    def fetch_encode_batch(self, specs, protein: bool = False):
+        """Batched region fetch + encode; specs = [(seqid, start, stop,
+        revcomp)], returns list of uint8 code arrays.  Uses the native C++
+        fetcher when available (taxtk/native/io.cpp)."""
+        if self._native is not None:
+            idx = [self._resolve(s[0]) for s in specs]
+            return self._native.fetch_encode(
+                idx,
+                [s[1] for s in specs],
+                [s[2] for s in specs],
+                [s[3] for s in specs],
+                protein,
+            )
+        out = []
+        for seqid, start, stop, revcomp in specs:
+            raw = self.get_sequence(seqid, start, stop)
+            codes = encode_protein(raw) if protein else encode_dna(raw)
+            if revcomp and not protein:
+                codes = revcomp_dna(codes)
+            out.append(codes)
+        return out
 
 
 class InMemoryFastaStore:
