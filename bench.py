@@ -68,7 +68,7 @@ def main():
         mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
         nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
         Np = n_chunks * Tc
-        text_p = np.full((Np, Bp), 31, np.int32)
+        text_p = np.full((Np, Bp), 31, np.int8)
         text_p[: text.shape[0], :B] = text
         text_t = text_p.reshape(Np, n_tiles * SUB, pm.LANE)
         d_args = [jnp.asarray(x) for x in (peq_t, text_t, hmask_t, nlen_t, mlen_t)]

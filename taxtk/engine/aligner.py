@@ -58,8 +58,30 @@ class BatchAligner:
         self.dna_backend = dna_backend or _default_dna_backend()
         # cap on batch * M * N cells per launch to bound device memory
         self.max_batch_cells = max_batch_cells
+        # patterns longer than this (both sides long) go to the native host
+        # Myers: their peq tables would not fit the VMEM window
+        self.long_pattern_threshold = 6144
         self.pairs_aligned = 0
         self.cells_computed = 0
+
+    def _run_host_long(self, pairs, idxs, results):
+        try:
+            from ..native import myers_batch, load
+
+            if load() is not None:
+                dists = myers_batch([pairs[k] for k in idxs])
+            else:
+                raise RuntimeError
+        except Exception:
+            from ..ops import oracle
+
+            dists = [oracle.edit_distance(*pairs[k]) for k in idxs]
+        for k, d in zip(idxs, dists):
+            a, b = pairs[k]
+            dist = int(d)
+            lendiff = abs(len(a) - len(b))
+            matches = min(len(a), len(b)) - (dist - lendiff)
+            results[k] = AlignValue(distance=f32(dist), similarity=f32(matches))
 
     def align_pairs(
         self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]
@@ -68,13 +90,24 @@ class BatchAligner:
         of the reference getAlignment call — order matters for protein)."""
         results: List[AlignValue] = [None] * len(pairs)  # type: ignore
 
-        # degenerate pairs resolved on host
+        # degenerate pairs resolved on host; very long DNA patterns (peq
+        # would exceed the VMEM budget) route to the native host Myers
         work: List[int] = []
+        host_long: List[int] = []
         for k, (a, b) in enumerate(pairs):
             if len(a) == 0 or len(b) == 0:
                 results[k] = self._empty_pair(len(a), len(b))
+            elif (
+                self.mode == "dna"
+                and self.dna_backend in ("myers", "myers-pallas")
+                and min(len(a), len(b)) > self.long_pattern_threshold
+            ):
+                host_long.append(k)
             else:
                 work.append(k)
+
+        if host_long:
+            self._run_host_long(pairs, host_long, results)
 
         buckets: Dict[Tuple[int, int], List[int]] = {}
         if self.mode == "dna" and self.dna_backend in ("myers", "myers-pallas"):
