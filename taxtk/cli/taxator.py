@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-u", "--ignore-unclassified", action="store_true")
     p.add_argument("-w", "--db-whitelist")
     p.add_argument("--macro-batch", type=int, default=512)
+    p.add_argument("--profile", metavar="TRACE_DIR",
+                   help="write a jax profiler trace of the run")
+    p.add_argument("--stats", action="store_true",
+                   help="print run metrics to stderr when done")
     return p
 
 
@@ -127,7 +131,12 @@ def main(argv=None) -> int:
                     macro_batch=args.macro_batch,
                     logsink=logsink,
                 )
-                engine.run(rsets, sys.stdout)
+                from ..engine.metrics import profile
+
+                with profile(args.profile):
+                    engine.run(rsets, sys.stdout)
+                if args.stats:
+                    engine.metrics.report()
             finally:
                 if logsink is not None:
                     logsink.close()

@@ -119,6 +119,9 @@ class RpaEngine:
         self.macro_batch = macro_batch
         self.aligner = aligner or BatchAligner("protein" if protein else "dna")
         self.logsink = logsink
+        from .metrics import EngineMetrics
+
+        self.metrics = EngineMetrics()
 
     def run(self, recordsets: Iterable[list], out=sys.stdout) -> None:
         """Stream record sets -> GFF3 on `out` (serial-mode byte parity:
@@ -180,25 +183,32 @@ class RpaEngine:
             for t in tasks
         ]
         pair_caches: List[Dict[PairKey, AlignValue]] = [dict() for _ in tasks]
+        m = self.metrics
+        m.record_sets += len(tasks)
 
-        # round 0
-        reqs = [t.prepare() for t in tasks]
-        self._align_round(tasks, caches, pair_caches, reqs)
-        # round 1
-        reqs = [
-            t.replay_pass0(pc) if t.result is None else []
-            for t, pc in zip(tasks, pair_caches)
-        ]
-        self._align_round(tasks, caches, pair_caches, reqs)
-        # round 2
-        reqs = [
-            t.replay_pass1(pc) if t.result is None else []
-            for t, pc in zip(tasks, pair_caches)
-        ]
-        self._align_round(tasks, caches, pair_caches, reqs)
-        for t, pc in zip(tasks, pair_caches):
-            if t.result is None:
-                t.replay_pass2(pc)
+        with m.stage("replay"):
+            reqs = [t.prepare() for t in tasks]
+        with m.stage("align"):
+            self._align_round(tasks, caches, pair_caches, reqs)
+        with m.stage("replay"):
+            reqs = [
+                t.replay_pass0(pc) if t.result is None else []
+                for t, pc in zip(tasks, pair_caches)
+            ]
+        with m.stage("align"):
+            self._align_round(tasks, caches, pair_caches, reqs)
+        with m.stage("replay"):
+            reqs = [
+                t.replay_pass1(pc) if t.result is None else []
+                for t, pc in zip(tasks, pair_caches)
+            ]
+        with m.stage("align"):
+            self._align_round(tasks, caches, pair_caches, reqs)
+        with m.stage("replay"):
+            for t, pc in zip(tasks, pair_caches):
+                if t.result is None:
+                    t.replay_pass2(pc)
+        m.pairs = self.aligner.pairs_aligned
         return tasks
 
     def _align_round(self, tasks, caches, pair_caches, reqs_per_task) -> None:
