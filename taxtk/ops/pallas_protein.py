@@ -1,0 +1,218 @@
+"""Pallas TPU kernel: batched protein global alignment (BLOSUM62, linear gap).
+
+Anti-diagonal wavefront with the pair batch in sublanes and the pattern
+(sequence A) dimension in lanes.  All carries — two score diagonals plus
+match-count and diagonal-step-count stat diagonals — ride in loop-carried
+registers; the sliding reversed-text window is produced with a dynamic
+circular lane rotate (pltpu.roll) instead of an unaligned dynamic slice,
+which Mosaic cannot prove 128-aligned.
+
+The substitution score is a 27-way select over a per-position BLOSUM
+profile of A precomputed on the host (prof[c][i] = BLOSUM62[a[i-1], c]),
+so the in-kernel lookup is pure VPU work — no gathers.
+
+Semantics identical to protein_align._protein_kernel (SeqAn tie-break:
+diagonal > consume-B > consume-A); tested equal in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blosum import BLOSUM62, GAP_SCORE
+
+_AA_N = BLOSUM62.shape[0]
+_NEG = np.int32(-(1 << 24))
+LANE = 128
+
+
+def _make_kernel(SUB: int, Mp1: int, W: int):
+    steps = W - Mp1  # = Mp1 - 1 + Npad + 1 window positions; see wrapper
+    gap = int(GAP_SCORE)
+
+    def kernel(prof_ref, acode_ref, rbp_ref, tgt_ref, s_out, ma_out, dc_out):
+        col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp1), 1)
+        target_d = tgt_ref[:]  # [SUB, Mp1] (row-constant)
+
+        def shift_right(x, fill):
+            r = pltpu.roll(x, 1, axis=1)
+            return jnp.where(col == 0, fill, r)
+
+        zero = jnp.zeros((SUB, Mp1), jnp.int32)
+        acode = acode_ref[:]
+
+        def body(d, carry):
+            (s_prev, s_pp, ma_prev, ma_pp, dc_prev, dc_pp,
+             res_s, res_ma, res_dc) = carry
+            # bx[i] = rbp[(i - (d + Mp1)) mod W] -> lane rotate by d + Mp1
+            rolled = pltpu.roll(rbp_ref[:], d + Mp1, axis=1)
+            bx = rolled[:, :Mp1]
+            sub = prof_ref[0]
+            for c in range(1, _AA_N):
+                sub = jnp.where(bx == c, prof_ref[c], sub)
+            sub = jnp.where(bx < _AA_N, sub, _NEG)
+            is_match = (acode == bx) & (bx < _AA_N)
+
+            s_pp_s = shift_right(s_pp, _NEG)
+            s_prev_s = shift_right(s_prev, _NEG)
+            ma_pp_s = shift_right(ma_pp, 0)
+            ma_prev_s = shift_right(ma_prev, 0)
+            dc_pp_s = shift_right(dc_pp, 0)
+            dc_prev_s = shift_right(dc_prev, 0)
+
+            d_val = s_pp_s + sub
+            v_val = s_prev_s + gap  # consume A char, gap column in B
+            h_val = s_prev + gap  # consume B char, gap column in A
+            best = jnp.maximum(jnp.maximum(d_val, v_val), h_val)
+            take_d = d_val == best
+            take_h = (~take_d) & (h_val == best)
+
+            new_s = best
+            new_ma = jnp.where(
+                take_d, ma_pp_s + is_match, jnp.where(take_h, ma_prev, ma_prev_s)
+            )
+            new_dc = jnp.where(
+                take_d, dc_pp_s + 1, jnp.where(take_h, dc_prev, dc_prev_s)
+            )
+
+            on_edge = (col == 0) | (col == d)
+            new_s = jnp.where(on_edge, gap * d, new_s)
+            new_ma = jnp.where(on_edge, 0, new_ma)
+            new_dc = jnp.where(on_edge, 0, new_dc)
+
+            done = d == target_d
+            res_s = jnp.where(done, new_s, res_s)
+            res_ma = jnp.where(done, new_ma, res_ma)
+            res_dc = jnp.where(done, new_dc, res_dc)
+            return (new_s, s_prev, new_ma, ma_prev, new_dc, dc_prev,
+                    res_s, res_ma, res_dc)
+
+        s0 = jnp.where(col == 0, 0, _NEG)
+        init = (s0, zero, zero, zero, zero, zero,
+                gap * target_d, zero, zero)
+        out = jax.lax.fori_loop(1, steps, body, init)
+        s_out[:] = out[6]
+        ma_out[:] = out[7]
+        dc_out[:] = out[8]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("SUB", "Mp1", "W", "n_tiles", "interpret"))
+def _call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret=False):
+    kernel = _make_kernel(SUB, Mp1, W)
+    shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp1), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(n_tiles,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((_AA_N, SUB, Mp1), lambda p: (0, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, W), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+        ),
+    )(prof, acode, rbp, tgt)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
+                                 sub_tile: int = 8, interpret: bool = False):
+    """Drop-in for protein_align.batched_protein_align (TPU path).
+
+    Returns the same dict of numpy arrays (distances etc. computed with the
+    reference's float32 normalization on host).
+    """
+    a_codes = np.asarray(a_codes)
+    b_codes = np.asarray(b_codes)
+    a_len = np.asarray(a_len, np.int32)
+    b_len = np.asarray(b_len, np.int32)
+    B, M = a_codes.shape
+    N = b_codes.shape[1]
+
+    SUB = sub_tile
+    TILE = SUB * LANE  # pairs per tile in the sublane-grouped layout
+    Mp1 = _round_up(M + 1, LANE)
+    Npad = _round_up(max(N, 1), LANE)
+    W = 2 * Mp1 + Npad
+    n_tiles = max(1, -(-B // SUB))
+    Bp = n_tiles * SUB
+
+    # prof_g[c, pair, i+1] = BLOSUM62[a[pair, i], c]
+    prof_a = BLOSUM62[np.minimum(a_codes, _AA_N - 1)]  # [B, M, AA]
+    prof_g = np.full((_AA_N, Bp, Mp1), _NEG, np.int32)
+    prof_g[:, :B, 1 : M + 1] = np.transpose(prof_a, (2, 0, 1))
+    acode = np.full((Bp, Mp1), 255, np.int32)
+    acode[:B, 1 : M + 1] = a_codes
+    rbp = np.full((Bp, W), 255, np.int32)
+    rbp[:B, Mp1 + Npad - N : Mp1 + Npad] = b_codes[:, ::-1]
+    tgt = np.ones((Bp, Mp1), np.int32)
+    tgt[:B] = (a_len + b_len)[:, None]
+
+    s, ma, dc = _call(
+        jnp.asarray(prof_g),
+        jnp.asarray(acode),
+        jnp.asarray(rbp),
+        jnp.asarray(tgt),
+        SUB,
+        Mp1,
+        W,
+        n_tiles,
+        interpret,
+    )
+    s = np.asarray(s)
+    ma = np.asarray(ma)
+    dc = np.asarray(dc)
+
+    # harvest lane a_len per pair
+    rows = np.arange(B)
+    mutual = s[rows, a_len]
+    matches = ma[rows, a_len]
+    diag = dc[rows, a_len]
+    # empty-side pairs
+    empty = (a_len == 0) | (b_len == 0)
+    mutual = np.where(empty, GAP_SCORE * np.maximum(a_len, b_len), mutual)
+    matches = np.where(empty, 0, matches)
+    diag = np.where(empty, 0, diag)
+
+    mismatches = diag - matches
+    gaps = a_len + b_len - 2 * diag
+    length = matches + mismatches + gaps
+    diag_scores = np.diag(BLOSUM62)
+    mask_a = np.arange(M)[None, :] < a_len[:, None]
+    mask_b = np.arange(b_codes.shape[1])[None, :] < b_len[:, None]
+    self_a = np.where(mask_a, diag_scores[np.minimum(a_codes, _AA_N - 1)], 0).sum(axis=1)
+    self_b = np.where(mask_b, diag_scores[np.minimum(b_codes, _AA_N - 1)], 0).sum(axis=1)
+    selfscore = (self_a + self_b).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        normfactor = np.where(
+            selfscore != 0, length.astype(np.float32) / selfscore.astype(np.float32), 0
+        ).astype(np.float32)
+    distance = (selfscore - 2 * mutual).astype(np.float32) * normfactor
+    similarity = (2 * mutual).astype(np.float32) * normfactor
+    return {
+        "mutual": mutual,
+        "selfscore": selfscore,
+        "matches": matches,
+        "mismatches": mismatches,
+        "gaps": gaps,
+        "length": length,
+        "distance": distance,
+        "similarity": similarity,
+    }
