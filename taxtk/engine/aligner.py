@@ -52,10 +52,15 @@ class BatchAligner:
         mode: str = "dna",
         max_batch_cells: int = 1 << 28,
         dna_backend: str | None = None,
+        protein_backend: str | None = None,
     ):
         assert mode in ("dna", "protein")
         self.mode = mode
         self.dna_backend = dna_backend or _default_dna_backend()
+        # protein: "wavefront" (XLA scan, portable) or "wavefront-pallas"
+        self.protein_backend = protein_backend or (
+            "wavefront-pallas" if _default_dna_backend() == "myers-pallas" else "wavefront"
+        )
         # cap on batch * M * N cells per launch to bound device memory
         self.max_batch_cells = max_batch_cells
         # patterns longer than this (both sides long) go to the native host
@@ -175,7 +180,12 @@ class BatchAligner:
                     distance=f32(dist[r]), similarity=f32(matches[r])
                 )
         else:
-            out = batched_protein_align(a_codes, b_codes, a_len, b_len)
+            if self.protein_backend == "wavefront-pallas":
+                from ..ops.pallas_protein import batched_protein_align_pallas
+
+                out = batched_protein_align_pallas(a_codes, b_codes, a_len, b_len)
+            else:
+                out = batched_protein_align(a_codes, b_codes, a_len, b_len)
             for r, k in enumerate(idxs):
                 results[k] = AlignValue(
                     distance=f32(out["distance"][r]),

@@ -37,7 +37,8 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
     steps = W - Mp1  # = Mp1 - 1 + Npad + 1 window positions; see wrapper
     gap = int(GAP_SCORE)
 
-    def kernel(prof_ref, acode_ref, rbp_ref, tgt_ref, s_out, ma_out, dc_out):
+    def kernel(prof_ref, acode_ref, rbp_ref, tgt_ref, s_out, ma_out, dc_out,
+               i0_ref, i1_ref, i2_ref):
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp1), 1)
         target_d = tgt_ref[:]  # [SUB, Mp1] (row-constant)
 
@@ -45,7 +46,15 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
             r = pltpu.roll(x, 1, axis=1)
             return jnp.where(col == 0, fill, r)
 
-        zero = jnp.zeros((SUB, Mp1), jnp.int32)
+        # materialize the init diagonals through VMEM scratch so every loop
+        # carry starts with a concrete (non-replicated) vector layout —
+        # constant-folded inits trip a Mosaic relayout error otherwise
+        i0_ref[:] = jnp.where(col == 0, 0, _NEG)
+        i1_ref[:] = jnp.zeros((SUB, Mp1), jnp.int32)
+        i2_ref[:] = jnp.int32(GAP_SCORE) * target_d
+        s0 = i0_ref[:]
+        zero = i1_ref[:]
+        res_s0 = i2_ref[:]
         acode = acode_ref[:]
 
         def body(d, carry):
@@ -94,9 +103,8 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
             return (new_s, s_prev, new_ma, ma_prev, new_dc, dc_prev,
                     res_s, res_ma, res_dc)
 
-        s0 = jnp.where(col == 0, 0, _NEG)
         init = (s0, zero, zero, zero, zero, zero,
-                gap * target_d, zero, zero)
+                res_s0, zero, zero)
         out = jax.lax.fori_loop(1, steps, body, init)
         s_out[:] = out[6]
         ma_out[:] = out[7]
@@ -125,6 +133,11 @@ def _call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret=False):
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, Mp1), jnp.int32),
+            pltpu.VMEM((SUB, Mp1), jnp.int32),
+            pltpu.VMEM((SUB, Mp1), jnp.int32),
+        ],
     )(prof, acode, rbp, tgt)
 
 
