@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--nbest", type=int, default=1)
     p.add_argument("-u", "--ignore-unclassified", action="store_true")
     p.add_argument("-w", "--db-whitelist")
-    p.add_argument("--macro-batch", type=int, default=512)
+    p.add_argument("--macro-batch", type=int, default=None)
     p.add_argument("--profile", metavar="TRACE_DIR",
                    help="write a jax profiler trace of the run")
     p.add_argument("--stats", action="store_true",

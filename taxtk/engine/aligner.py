@@ -53,7 +53,12 @@ class BatchAligner:
         max_batch_cells: int = 1 << 28,
         dna_backend: str | None = None,
         protein_backend: str | None = None,
+        mesh=None,
     ):
+        # mesh: optional jax.sharding.Mesh with a "dp" axis — alignment
+        # batches shard over it (pure data parallelism, no collectives);
+        # applies to the XLA myers backend
+        self.mesh = mesh
         assert mode in ("dna", "protein")
         self.mode = mode
         self.dna_backend = dna_backend or _default_dna_backend()
@@ -161,7 +166,10 @@ class BatchAligner:
 
         if self.mode == "dna":
             if self.dna_backend == "myers":
-                dist = batched_edit_distance_myers(a_codes, b_codes, a_len, b_len)
+                if self.mesh is not None:
+                    dist = self._myers_sharded(a_codes, b_codes, a_len, b_len)
+                else:
+                    dist = batched_edit_distance_myers(a_codes, b_codes, a_len, b_len)
             elif self.dna_backend == "myers-pallas":
                 from ..ops.pallas_myers import batched_edit_distance_pallas_myers
 
@@ -191,6 +199,46 @@ class BatchAligner:
                     distance=f32(out["distance"][r]),
                     similarity=f32(out["similarity"][r]),
                 )
+
+    def _myers_sharded(self, a_codes, b_codes, a_len, b_len):
+        """Myers kernel with the pair batch sharded over the mesh "dp" axis
+        (each device computes its slice; no cross-device communication)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.myers_batch import _precompute, _myers_kernel
+
+        dp = self.mesh.shape["dp"]
+        B = len(a_len)
+        Bp = -(-B // dp) * dp
+        pad = Bp - B
+
+        def padb(x, fill):
+            if pad == 0:
+                return np.asarray(x)
+            x = np.asarray(x)
+            extra = np.full((pad,) + x.shape[1:], fill, x.dtype)
+            return np.concatenate([x, extra])
+
+        peq, text, hmask, m_len, n_len, K = _precompute(
+            padb(a_codes, 0),
+            padb(b_codes, 0),
+            padb(a_len, 1),
+            padb(b_len, 1),
+        )
+        shard_b = NamedSharding(self.mesh, P(None, None, "dp"))
+        shard_nb = NamedSharding(self.mesh, P(None, "dp"))
+        shard_1 = NamedSharding(self.mesh, P("dp"))
+        args = (
+            jax.device_put(jnp.asarray(peq), shard_b),
+            jax.device_put(jnp.asarray(text), shard_nb),
+            jax.device_put(jnp.asarray(hmask), shard_nb),
+            jax.device_put(jnp.asarray(m_len), shard_1),
+            jax.device_put(jnp.asarray(n_len), shard_1),
+        )
+        out = np.asarray(_myers_kernel(*args))[:B]
+        return np.where(m_len[:B] == 0, n_len[:B], out)
 
     def _empty_pair(self, la: int, lb: int) -> AlignValue:
         if self.mode == "dna":

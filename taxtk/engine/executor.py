@@ -106,10 +106,19 @@ class RpaEngine:
         protein: bool = False,
         exclude_factor: float = 0.5,
         toppercent: float = 0.05,
-        macro_batch: int = 512,
+        macro_batch: Optional[int] = None,
         aligner: Optional[BatchAligner] = None,
         logsink=None,
     ):
+        if macro_batch is None:
+            # device rounds have fixed dispatch/readback latency: batch much
+            # larger on accelerators than on host backends
+            try:
+                import jax
+
+                macro_batch = 8192 if jax.devices()[0].platform != "cpu" else 1024
+            except Exception:
+                macro_batch = 1024
         self.tax = tax
         self.query_store = query_store
         self.db_store = db_store

@@ -1,13 +1,12 @@
-"""Pallas TPU kernel: batched wavefront edit distance.
+"""Pallas TPU kernel: batched wavefront edit distance.  SUPERSEDED.
 
-Hand-scheduled version of the anti-diagonal DP in dna_align.py for the TPU
-VPU: the whole wavefront state (two carry diagonals + the harvested result
-rows) lives in VMEM scratch across the `fori_loop` over anti-diagonals, so
-per-step cost is pure 8x128-vector arithmetic with no HBM traffic except the
-initial sequence loads.  One grid program processes a row-tile of pairs.
-
-Semantics are identical to dna_align._edit_distance_kernel (tested
-equal); use `batched_edit_distance_pallas` as a drop-in on TPU.
+pallas_myers.py replaces this for production DNA alignment (~20x fewer ops
+per DP cell via bit-parallelism) and compiles cleanly on TPU; this wavefront
+version needs an unaligned dynamic slice that Mosaic rejects (fixable with a
+dynamic lane rotate as in pallas_protein.py, but there is no reason to: the
+only score the DNA path needs is the edit distance, which Myers computes).
+Kept as the simplest Pallas reference implementation of the wavefront
+pattern; exact in interpret mode (tested).
 """
 
 from __future__ import annotations
