@@ -62,10 +62,10 @@ class BatchAligner:
         assert mode in ("dna", "protein")
         self.mode = mode
         self.dna_backend = dna_backend or _default_dna_backend()
-        # protein: "wavefront" (XLA scan, portable) or "wavefront-pallas"
-        self.protein_backend = protein_backend or (
-            "wavefront-pallas" if _default_dna_backend() == "myers-pallas" else "wavefront"
-        )
+        # protein: "wavefront" (XLA scan, portable; current default — the
+        # pallas variant is correct on TPU but its 27-way blosum select is
+        # not yet competitive) or "wavefront-pallas"
+        self.protein_backend = protein_backend or "wavefront"
         # cap on batch * M * N cells per launch to bound device memory
         self.max_batch_cells = max_batch_cells
         # patterns longer than this (both sides long) go to the native host

@@ -113,8 +113,21 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("SUB", "Mp1", "W", "n_tiles", "interpret"))
-def _call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("SUB", "Mp1", "W", "n_tiles", "interpret")
+)
+def _call(prof, acode, rbp, tgt, alen, SUB, Mp1, W, n_tiles, interpret=False):
+    kernel = _make_kernel(SUB, Mp1, W)
+    shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp1), jnp.int32)
+    s, ma, dc = _raw_call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret)
+    # harvest the answer lane on device: D2H shrinks from full rasters to
+    # three [B] vectors
+    idx = alen[:, None]
+    pick = lambda arr: jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+    return pick(s), pick(ma), pick(dc)
+
+
+def _raw_call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret=False):
     kernel = _make_kernel(SUB, Mp1, W)
     shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp1), jnp.int32)
     return pl.pallas_call(
@@ -178,26 +191,23 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     tgt = np.ones((Bp, Mp1), np.int32)
     tgt[:B] = (a_len + b_len)[:, None]
 
+    alen_p = np.zeros(Bp, np.int32)
+    alen_p[:B] = a_len
     s, ma, dc = _call(
         jnp.asarray(prof_g),
         jnp.asarray(acode),
         jnp.asarray(rbp),
         jnp.asarray(tgt),
+        jnp.asarray(alen_p),
         SUB,
         Mp1,
         W,
         n_tiles,
         interpret,
     )
-    s = np.asarray(s)
-    ma = np.asarray(ma)
-    dc = np.asarray(dc)
-
-    # harvest lane a_len per pair
-    rows = np.arange(B)
-    mutual = s[rows, a_len]
-    matches = ma[rows, a_len]
-    diag = dc[rows, a_len]
+    mutual = np.asarray(s)[:B]
+    matches = np.asarray(ma)[:B]
+    diag = np.asarray(dc)[:B]
     # empty-side pairs
     empty = (a_len == 0) | (b_len == 0)
     mutual = np.where(empty, GAP_SCORE * np.maximum(a_len, b_len), mutual)
