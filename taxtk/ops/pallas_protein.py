@@ -63,9 +63,11 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
             # bx[i] = rbp[(i - (d + Mp1)) mod W] -> lane rotate by d + Mp1
             rolled = pltpu.roll(rbp_ref[:], d + Mp1, axis=1)
             bx = rolled[:, :Mp1]
-            sub = prof_ref[0]
+            # masked multiply-accumulate instead of a 27-deep select chain:
+            # the terms are independent, so the VPU can pipeline/tree them
+            sub = (bx == 0).astype(jnp.int32) * prof_ref[0]
             for c in range(1, _AA_N):
-                sub = jnp.where(bx == c, prof_ref[c], sub)
+                sub = sub + (bx == c).astype(jnp.int32) * prof_ref[c]
             sub = jnp.where(bx < _AA_N, sub, _NEG)
             is_match = (acode == bx) & (bx < _AA_N)
 
