@@ -34,8 +34,10 @@ from jax.experimental.shard_map import shard_map
 from ..ops.dna_align import _edit_distance_kernel
 
 
-def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
-    devs = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None, tp: Optional[int] = None, devices=None
+) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
     if tp is None:
@@ -144,8 +146,25 @@ def dryrun_step(mesh: Mesh, path_matrix: np.ndarray, B=None, S=None, L=32):
     r_ident = rng.randint(1, L, (B, S)).astype(np.int32)
 
     step = distributed_classify_step(mesh, path_matrix)
+    # pin inputs to the mesh's devices explicitly: the process default
+    # backend may be a different platform (e.g. the single TPU chip while
+    # the mesh is the virtual CPU mesh)
+    from jax.sharding import NamedSharding
+
+    specs = (
+        P("dp", None),
+        P("dp"),
+        P("dp", "tp", None),
+        P("dp", "tp"),
+        P("dp", "tp"),
+        P("dp", "tp"),
+    )
+    args = [
+        jax.device_put(a, NamedSharding(mesh, s))
+        for a, s in zip((queries, q_len, refs, r_len, r_node, r_ident), specs)
+    ]
     with mesh:
-        best_dist, best_slot, lca = step(queries, q_len, refs, r_len, r_node, r_ident)
+        best_dist, best_slot, lca = step(*args)
     return (
         np.asarray(best_dist),
         np.asarray(best_slot),
