@@ -35,3 +35,52 @@ def test_merge_gff3_parts(tmp_path):
     lines = out.read_text().splitlines()
     assert lines[0] == "##gff-version 3"
     assert lines[1].startswith("alpha") and lines[2].startswith("zeta")
+
+
+def test_two_host_shards_merge_equals_single_run(tmp_path):
+    """Simulate the reference's split-classify-concatenate workflow
+    (FAQ#9): two host shards produce, after merge+sort, byte-identical
+    GFF3 to a single-host run."""
+    import io
+    import random
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from fixture_tax import make_taxonomy
+    from test_rpa import _synthesize_case, DictStore, run_engine
+
+    tax = make_taxonomy(tmp_path, prune=True)
+    rng = random.Random(55)
+    recordsets, qseqs, refseqs = [], {}, {}
+    for case in range(8):
+        made = _synthesize_case(rng, tax)
+        if made is None:
+            continue
+        refs, qs, records = made
+        qid = f"q{case}"
+        for r in records:
+            r.query_identifier = qid
+            r.reference_identifier = f"c{case}_" + r.reference_identifier
+        refseqs.update({f"c{case}_" + k: v for k, v in refs.items()})
+        qseqs[qid] = qs["q0"]
+        recordsets.append(records)
+
+    qstore, dbstore = DictStore(qseqs), DictStore(refseqs)
+    full = run_engine(tax, qstore, dbstore, recordsets)
+    full_sorted = sorted(
+        l for l in full.splitlines() if l and not l.startswith("#")
+    )
+
+    parts = []
+    for p in range(2):
+        shard = list(host_shard(iter(recordsets), p, 2))
+        out = run_engine(tax, qstore, dbstore, shard)
+        path = tmp_path / f"part{p}.gff3"
+        path.write_text(out)
+        parts.append(str(path))
+    merged = tmp_path / "merged.gff3"
+    merge_gff3_parts(parts, str(merged))
+    merged_lines = [
+        l for l in merged.read_text().splitlines() if not l.startswith("#")
+    ]
+    assert merged_lines == sorted(full_sorted, key=lambda l: l.split("\t", 1)[0])
