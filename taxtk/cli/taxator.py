@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--macro-batch", type=int, default=None)
     p.add_argument("--profile", metavar="TRACE_DIR",
                    help="write a jax profiler trace of the run")
+    p.add_argument("--dna-backend",
+                   choices=["myers", "myers-pallas", "wavefront"],
+                   help="alignment kernel backend (default: auto)")
+    p.add_argument("--protein-backend",
+                   choices=["wavefront", "wavefront-pallas"],
+                   help="protein kernel backend (default: wavefront)")
     p.add_argument("--stats", action="store_true",
                    help="print run metrics to stderr when done")
     return p
@@ -121,6 +127,13 @@ def main(argv=None) -> int:
             if args.logfile and args.logfile != "/dev/null":
                 logsink = open(args.logfile, "a")
             try:
+                from ..engine.aligner import BatchAligner
+
+                aligner = BatchAligner(
+                    "protein" if protein else "dna",
+                    dna_backend=args.dna_backend,
+                    protein_backend=args.protein_backend,
+                )
                 engine = RpaEngine(
                     tax,
                     query_store,
@@ -130,6 +143,7 @@ def main(argv=None) -> int:
                     toppercent=args.toppercent,
                     macro_batch=args.macro_batch,
                     logsink=logsink,
+                    aligner=aligner,
                 )
                 from ..engine.metrics import profile
 

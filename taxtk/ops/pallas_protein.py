@@ -3,13 +3,17 @@
 Anti-diagonal wavefront with the pair batch in sublanes and the pattern
 (sequence A) dimension in lanes.  All carries — two score diagonals plus
 match-count and diagonal-step-count stat diagonals — ride in loop-carried
-registers; the sliding reversed-text window is produced with a dynamic
-circular lane rotate (pltpu.roll) instead of an unaligned dynamic slice,
-which Mosaic cannot prove 128-aligned.
+registers.  The sliding text window uses only STATIC lane moves: the
+incoming character streams from a 128-lane refill buffer (refilled every
+128 steps with an aligned dynamic slice) consumed from lane 0 by a fixed
+left-rotate, and the window itself advances with a fixed right-rotate —
+Mosaic rejects unaligned dynamic slices and lowers dynamic-distance
+rotates poorly.
 
-The substitution score is a 27-way select over a per-position BLOSUM
-profile of A precomputed on the host (prof[c][i] = BLOSUM62[a[i-1], c]),
-so the in-kernel lookup is pure VPU work — no gathers.
+The substitution score is a 27-way masked multiply-accumulate over a
+per-position BLOSUM profile of A precomputed on the host
+(prof[c][i] = BLOSUM62[a[i-1], c]) — independent terms, no gathers, no
+select dependency chain.
 
 Semantics identical to protein_align._protein_kernel (SeqAn tie-break:
 diagonal > consume-B > consume-A); tested equal in interpret mode.
@@ -33,11 +37,10 @@ _NEG = np.int32(-(1 << 24))
 LANE = 128
 
 
-def _make_kernel(SUB: int, Mp1: int, W: int):
-    steps = W - Mp1  # = Mp1 - 1 + Npad + 1 window positions; see wrapper
+def _make_kernel(SUB: int, Mp1: int, steps: int):
     gap = int(GAP_SCORE)
 
-    def kernel(prof_ref, acode_ref, rbp_ref, tgt_ref, s_out, ma_out, dc_out,
+    def kernel(prof_ref, acode_ref, fwd_ref, tgt_ref, s_out, ma_out, dc_out,
                i0_ref, i1_ref, i2_ref):
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp1), 1)
         target_d = tgt_ref[:]  # [SUB, Mp1] (row-constant)
@@ -59,10 +62,19 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
 
         def body(d, carry):
             (s_prev, s_pp, ma_prev, ma_pp, dc_prev, dc_pp,
-             res_s, res_ma, res_dc) = carry
-            # bx[i] = rbp[(i - (d + Mp1)) mod W] -> lane rotate by d + Mp1
-            rolled = pltpu.roll(rbp_ref[:], d + Mp1, axis=1)
-            bx = rolled[:, :Mp1]
+             res_s, res_ma, res_dc, bx, buf) = carry
+            # sliding text window, all-static lane shifts: the incoming
+            # character streams from a 128-lane refill buffer loaded with an
+            # ALIGNED dynamic slice every 128 steps and consumed from lane 0
+            # by rolling left; bx shifts right by one with the new char at
+            # lane 0 (no unaligned or dynamic-distance lane moves anywhere)
+            k = d - 1
+            base = pl.multiple_of((k // 128) * 128, 128)
+            window = fwd_ref[:, pl.ds(base, 128)]
+            # left-rotate by one == right-rotate by 127 (shift must be >= 0)
+            buf = jnp.where((k % 128) == 0, window, pltpu.roll(buf, 127, axis=1))
+            newval = buf[:, 0:1]
+            bx = jnp.where(col == 0, newval, pltpu.roll(bx, 1, axis=1))
             # masked multiply-accumulate instead of a 27-deep select chain:
             # the terms are independent, so the VPU can pipeline/tree them
             sub = (bx == 0).astype(jnp.int32) * prof_ref[0]
@@ -103,10 +115,12 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
             res_ma = jnp.where(done, new_ma, res_ma)
             res_dc = jnp.where(done, new_dc, res_dc)
             return (new_s, s_prev, new_ma, ma_prev, new_dc, dc_prev,
-                    res_s, res_ma, res_dc)
+                    res_s, res_ma, res_dc, bx, buf)
 
         init = (s0, zero, zero, zero, zero, zero,
-                res_s0, zero, zero)
+                res_s0, zero, zero,
+                zero + 255,              # bx: all-sentinel before step 1
+                zero[:, 0:128] + 255)    # refill buffer (overwritten at k=0)
         out = jax.lax.fori_loop(1, steps, body, init)
         s_out[:] = out[6]
         ma_out[:] = out[7]
@@ -116,12 +130,12 @@ def _make_kernel(SUB: int, Mp1: int, W: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("SUB", "Mp1", "W", "n_tiles", "interpret")
+    jax.jit, static_argnames=("SUB", "Mp1", "steps", "fwd_w", "n_tiles", "interpret")
 )
-def _call(prof, acode, rbp, tgt, alen, SUB, Mp1, W, n_tiles, interpret=False):
-    kernel = _make_kernel(SUB, Mp1, W)
-    shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp1), jnp.int32)
-    s, ma, dc = _raw_call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret)
+def _call(prof, acode, fwd, tgt, alen, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
+    s, ma, dc = _raw_call(
+        prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret
+    )
     # harvest the answer lane on device: D2H shrinks from full rasters to
     # three [B] vectors
     idx = alen[:, None]
@@ -129,8 +143,8 @@ def _call(prof, acode, rbp, tgt, alen, SUB, Mp1, W, n_tiles, interpret=False):
     return pick(s), pick(ma), pick(dc)
 
 
-def _raw_call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret=False):
-    kernel = _make_kernel(SUB, Mp1, W)
+def _raw_call(prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
+    kernel = _make_kernel(SUB, Mp1, steps)
     shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp1), jnp.int32)
     return pl.pallas_call(
         kernel,
@@ -140,7 +154,7 @@ def _raw_call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret=False):
         in_specs=[
             pl.BlockSpec((_AA_N, SUB, Mp1), lambda p: (0, p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, W), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, fwd_w), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -153,7 +167,7 @@ def _raw_call(prof, acode, rbp, tgt, SUB, Mp1, W, n_tiles, interpret=False):
             pltpu.VMEM((SUB, Mp1), jnp.int32),
             pltpu.VMEM((SUB, Mp1), jnp.int32),
         ],
-    )(prof, acode, rbp, tgt)
+    )(prof, acode, fwd, tgt)
 
 
 def _round_up(x, m):
@@ -175,10 +189,10 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     N = b_codes.shape[1]
 
     SUB = sub_tile
-    TILE = SUB * LANE  # pairs per tile in the sublane-grouped layout
     Mp1 = _round_up(M + 1, LANE)
     Npad = _round_up(max(N, 1), LANE)
-    W = 2 * Mp1 + Npad
+    steps = Mp1 + Npad
+    fwd_w = _round_up(steps, 128)
     n_tiles = max(1, -(-B // SUB))
     Bp = n_tiles * SUB
 
@@ -188,8 +202,9 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     prof_g[:, :B, 1 : M + 1] = np.transpose(prof_a, (2, 0, 1))
     acode = np.full((Bp, Mp1), 255, np.int32)
     acode[:B, 1 : M + 1] = a_codes
-    rbp = np.full((Bp, W), 255, np.int32)
-    rbp[:B, Mp1 + Npad - N : Mp1 + Npad] = b_codes[:, ::-1]
+    # forward text stream: the char consumed at step d is fwd[d-1] = b[d-1]
+    fwd = np.full((Bp, fwd_w), 255, np.int32)
+    fwd[:B, :N] = b_codes
     tgt = np.ones((Bp, Mp1), np.int32)
     tgt[:B] = (a_len + b_len)[:, None]
 
@@ -198,12 +213,13 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     s, ma, dc = _call(
         jnp.asarray(prof_g),
         jnp.asarray(acode),
-        jnp.asarray(rbp),
+        jnp.asarray(fwd),
         jnp.asarray(tgt),
         jnp.asarray(alen_p),
         SUB,
         Mp1,
-        W,
+        steps,
+        fwd_w,
         n_tiles,
         interpret,
     )
