@@ -126,7 +126,7 @@ class RpaTask:
 
     # ------------------------------------------------------------------ helpers
     def _lca(self, a: int, b: int) -> int:
-        return int(self.tax.lca(a, b))
+        return self.tax.lca_scalar(int(a), int(b))
 
     @property
     def _root(self) -> int:
@@ -290,11 +290,12 @@ class RpaTask:
                 dist = f32(0.0)
                 sim = f32(rec.identities)
                 self.counters["p0n"] += 1
-                self._log(
-                    f"    *ALN {i} <=> query\tdist={self._f2(dist)}; "
-                    f"sim={self._f2(sim)}; qsearchscore={self._f2(rec.score)}; "
-                    f"qsearchmatch={rec.identities}; qpid=1.0"
-                )
+                if self.logging:
+                    self._log(
+                        f"    *ALN {i} <=> query\tdist={self._f2(dist)}; "
+                        f"sim={self._f2(sim)}; qsearchscore={self._f2(rec.score)}; "
+                        f"qsearchmatch={rec.identities}; qpid=1.0"
+                    )
             elif self._pass0_aligned[i]:
                 qgroup.append(i)
                 aln = cache[("q", i, -1)]
@@ -302,14 +303,15 @@ class RpaTask:
                 sim = max(aln.similarity, f32(rec.identities))
                 self.counters["p0"] += 1
                 self.counters["p0n"] += 1
-                self._log(
-                    f"    +ALN {i} <=> query\tdist={self._f2(dist)}; "
-                    f"sim={self._f2(sim)}; qsearchscore={self._f2(rec.score)}; "
-                    f"qsearchmatch={rec.identities}; "
-                    f"qsearchpid={self._f2(qsearchpid)}; "
-                    f"qpid={self._f2(float(sim) / self.qrlength)}"
-                )
-                self._log("")
+                if self.logging:
+                    self._log(
+                        f"    +ALN {i} <=> query\tdist={self._f2(dist)}; "
+                        f"sim={self._f2(sim)}; qsearchscore={self._f2(rec.score)}; "
+                        f"qsearchmatch={rec.identities}; "
+                        f"qsearchpid={self._f2(qsearchpid)}; "
+                        f"qpid={self._f2(float(sim) / self.qrlength)}"
+                    )
+                    self._log("")
             else:
                 dist = FLT_MAX
                 sim = f32(rec.identities)
@@ -341,10 +343,11 @@ class RpaTask:
                 continue
             cnode = records[i].reference_node
             rtax = self._lca(rtax, cnode)
-            self._log(
-                f"      current ref node: ({self._f2(self.querydistance[i])}) "
-                f"{self._name(rtax)} (+ {self._name(cnode)} )"
-            )
+            if self.logging:
+                self._log(
+                    f"      current ref node: ({self._f2(self.querydistance[i])}) "
+                    f"{self._name(rtax)} (+ {self._name(cnode)} )"
+                )
             kept.append(i)
         self._log(
             f"    NUMALN\t{self.counters['p0']}\t"
@@ -424,7 +427,8 @@ class RpaTask:
                         aln = cache[("s", i, index_anchor)]
                         dist = aln.distance
                         self.counters["p1"] += 1
-                        self._log_aln(
+                        if self.logging:
+                            self._log_aln(
                             "+",
                             str(i),
                             str(index_anchor),

@@ -75,12 +75,19 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             buf = jnp.where((k % 128) == 0, window, pltpu.roll(buf, 127, axis=1))
             newval = buf[:, 0:1]
             bx = jnp.where(col == 0, newval, pltpu.roll(bx, 1, axis=1))
-            # masked multiply-accumulate instead of a 27-deep select chain:
-            # the terms are independent, so the VPU can pipeline/tree them
-            sub = (bx == 0).astype(jnp.int32) * prof_ref[0]
-            for c in range(1, _AA_N):
-                sub = sub + (bx == c).astype(jnp.int32) * prof_ref[c]
-            sub = jnp.where(bx < _AA_N, sub, _NEG)
+            # masked multiply-accumulate, explicitly tree-reduced so the
+            # accumulation is log-depth instead of a 27-long add chain
+            terms = [
+                (bx == c).astype(jnp.int32) * prof_ref[c] for c in range(_AA_N)
+            ]
+            while len(terms) > 1:
+                nxt = [
+                    terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)
+                ]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            sub = jnp.where(bx < _AA_N, terms[0], _NEG)
             is_match = (acode == bx) & (bx < _AA_N)
 
             s_pp_s = shift_right(s_pp, _NEG)
