@@ -168,8 +168,12 @@ def batched_edit_distance_pallas_myers(
     peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
     N = text.shape[0]
 
-    K = max(1, -(-K // 8) * 8) if K > 4 else _pow2(K)
-    # pad pattern blocks to a small shape set (zero peq/hmask blocks inert)
+    # quantize K to a small shape set (zero peq/hmask pad blocks are inert):
+    # {1,2,4,8,16,24,32} then powers of two — each distinct K is a compile
+    if K > 32:
+        K = _pow2(K)
+    elif K > 4:
+        K = -(-K // 8) * 8
     if K > peq.shape[0]:
         peq = np.concatenate(
             [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
