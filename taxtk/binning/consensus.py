@@ -120,11 +120,26 @@ def combine_prediction_ranges(
         direct_support, total_support = get_support()
 
     if debug_output is not None:
+        # reference format (predictionranges.hh:171-211)
         debug_output.write(
             f"\ncombining {len(records)} independent predictions for query "
             f"{identifier}, threshold {direct_support_thresh} "
             f"({int(min_signal_percentage * 100)} %)\n"
         )
+        for rec in records:
+            sup = rec.get_support_at_node(rec.lower_node)
+            upper_chain = tax.path_down(rec.upper_node)[:-1]
+            inner_chain = tax.path_down(rec.lower_node, rec.upper_node)
+            debug_output.write(
+                f"{sup}: "
+                + "".join(tax.name_of(n) + ";" for n in upper_chain)
+                + "["
+                + ";".join(tax.name_of(n) for n in inner_chain)
+                + "]\n"
+            )
+        debug_output.write("\n")
+        debug_output.write("  L |  direct s. |    total s.| B | name\n")
+        debug_output.write("--------------------------------------------\n")
         for node, d, t, b in path:
             star = "*" if d >= direct_support_thresh else ""
             debug_output.write(
@@ -133,6 +148,8 @@ def combine_prediction_ranges(
             )
 
     if lower_direct_node_index >= 0:  # direct mode (:213-251)
+        if debug_output is not None:
+            debug_output.write("using direct binning mode...\n")
         prec.binning_type = BINNING_DIRECT
         lower_node = path[lower_direct_node_index][0]
         lower_node_support = path[lower_direct_node_index][2]
@@ -157,6 +174,8 @@ def combine_prediction_ranges(
         return prec
 
     # fallback mode (:254-265)
+    if debug_output is not None:
+        debug_output.write("using fallback binning mode...\n")
     prec.binning_type = BINNING_FALLBACK
     for i in range(len(path) - 1, -1, -1):
         if path[i][2] >= direct_support_thresh:
