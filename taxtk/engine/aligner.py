@@ -73,6 +73,14 @@ class BatchAligner:
         self.long_pattern_threshold = 6144
         self.pairs_aligned = 0
         self.cells_computed = 0
+        self.stage_seconds = {}  # per-phase accounting (kernel vs staging)
+
+    def _tick(self, name, t0):
+        import time
+
+        self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + (
+            time.time() - t0
+        )
 
     def _run_host_long(self, pairs, idxs, results):
         try:
@@ -148,6 +156,9 @@ class BatchAligner:
         return results
 
     def _run_bucket(self, pairs, idxs, M, N, results):
+        import time
+
+        t0 = time.time()
         B = len(idxs)
         Bpad = _pow2ceil(B, minimum=8)
         a_codes = np.zeros((Bpad, M), dtype=np.uint8)
@@ -163,6 +174,8 @@ class BatchAligner:
         a_len[B:] = 1  # dummy rows
         b_len[B:] = 1
         self.cells_computed += int(a_len.sum() * 0 + (a_len * b_len).sum())
+        self._tick("stage_batch", t0)
+        t0 = time.time()
 
         if self.mode == "dna":
             if self.dna_backend == "myers":
@@ -183,10 +196,13 @@ class BatchAligner:
             lendiff = np.abs(a_len - b_len)
             mismatches = dist - lendiff
             matches = np.minimum(a_len, b_len) - mismatches
+            self._tick("device", t0)
+            t0 = time.time()
             for r, k in enumerate(idxs):
                 results[k] = AlignValue(
                     distance=f32(dist[r]), similarity=f32(matches[r])
                 )
+            self._tick("collect", t0)
         else:
             if self.protein_backend == "wavefront-pallas":
                 from ..ops.pallas_protein import batched_protein_align_pallas

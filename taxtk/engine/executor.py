@@ -230,8 +230,9 @@ class RpaEngine:
                     flat.append((ti, key))
         if not flat:
             return
-        self._prefetch_segments(caches, flat)
-        pairs = [caches[ti].pair_sequences(key) for ti, key in flat]
+        with self.metrics.stage("fetch"):
+            self._prefetch_segments(caches, flat)
+            pairs = [caches[ti].pair_sequences(key) for ti, key in flat]
         values = self.aligner.align_pairs(pairs)
         for (ti, key), val in zip(flat, values):
             pair_caches[ti][key] = val
