@@ -1,0 +1,47 @@
+"""Committed SeqAn golden fixtures: kernel parity without needing the
+reference tree or a compiler (tests/fixtures/seqan_golden.tsv was generated
+once by tests/tools/seqan_oracle.cpp against the reference's vendored
+SeqAn 2.4.0)."""
+
+import pathlib
+
+import numpy as np
+
+from taxtk.ops import oracle
+from taxtk.refpack.store import encode_dna, encode_protein
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures" / "seqan_golden.tsv"
+
+
+def _load():
+    rows = []
+    for line in FIXTURES.read_text().splitlines():
+        if line.startswith("#"):
+            continue
+        t, a, b, vals = line.split("\t")
+        rows.append((t, a, b, vals))
+    return rows
+
+
+def test_dna_golden():
+    n = 0
+    for t, a, b, vals in _load():
+        if t != "dna":
+            continue
+        assert oracle.edit_distance(encode_dna(a), encode_dna(b)) == int(vals)
+        n += 1
+    assert n >= 100
+
+
+def test_protein_golden():
+    n = 0
+    for t, a, b, vals in _load():
+        if t != "prot":
+            continue
+        self_, mutual, ma, mi, ga = map(int, vals.split(","))
+        ea, eb = encode_protein(a), encode_protein(b)
+        r = oracle.protein_align(ea, eb)
+        assert oracle.protein_selfscore(ea) + oracle.protein_selfscore(eb) == self_
+        assert (r.matches, r.mismatches, r.gaps) == (ma, mi, ga), (a, b)
+        n += 1
+    assert n >= 200
