@@ -149,3 +149,38 @@ class TestRunBinner:
         assert body[0].startswith("orf1\t")
         # lengths of distinct query ids summed
         assert body[0].split("\t")[3] == "180"
+
+
+class TestBinnerMultiFile:
+    def test_files_flag_with_stdin_mix(self, tax, tmp_path, capsys, monkeypatch):
+        import io
+        import sys
+        from taxtk.cli import binner as binner_cli
+        import taxtk.taxonomy.flat as flatmod
+
+        # write the taxonomy dump for the CLI to load
+        from fixture_tax import write_dump
+
+        write_dump(str(tmp_path))
+        monkeypatch.setenv("TAXATORTK_TAXONOMY_NCBI", str(tmp_path))
+
+        part1 = tmp_path / "a.gff3"
+        part1.write_text(
+            "c1\ttaxator-tk\tsequence_feature\t1\t100\t0\t.\t.\t"
+            "seqlen=100;tax=2111111:90-21111;rtax=2111111\n"
+        )
+        monkeypatch.setattr(
+            sys,
+            "stdin",
+            io.StringIO(
+                "c2\ttaxator-tk\tsequence_feature\t1\t80\t0\t.\t.\t"
+                "seqlen=80;tax=2211111:70-22111;rtax=2211111\n"
+            ),
+        )
+        rc = binner_cli.main(
+            ["-n", "s", "-l", "/dev/null", "-f", str(part1), "-"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        rows = [l for l in out.splitlines() if l and not l.startswith(("#", "@"))]
+        assert {r.split("\t")[0] for r in rows} == {"c1", "c2"}
