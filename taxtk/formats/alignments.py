@@ -10,9 +10,18 @@ record (pre-filtered but kept in the stream).
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass, field
 
 import numpy as np
+
+_f32_pack = struct.Struct("<f")
+
+
+def _float32(text: str) -> float:
+    # value rounded to float32 but held as a python float: exactly what
+    # boost::lexical_cast<float> produces, without numpy scalar overhead
+    return _f32_pack.unpack(_f32_pack.pack(float(text)))[0]
 
 from ..constants import FIELD_SEPARATOR
 from ..utils.errors import ParsingError
@@ -20,7 +29,7 @@ from ..utils.fmt import cxx_float, cxx_double
 from ..utils.tokenize import tokenize_single_char, empty_line, ignore_line
 
 
-@dataclass
+@dataclass(slots=True)
 class AlignmentRecord:
     query_identifier: str = ""
     query_start: int = 0
@@ -86,36 +95,57 @@ def parse_alignment_line(line: str) -> AlignmentRecord:
         raise ParsingError("alignment line too short")
     masked = line[0] == "*"
     body = line[1:] if masked else line
-    fields = tokenize_single_char(body, FIELD_SEPARATOR, 12, False)
+    # fast path: str.split matches the reference tokenizer for field
+    # extraction (the always-appended empty remainder token only matters
+    # beyond column 12, which parse ignores)
+    fields = body.split(FIELD_SEPARATOR, 12)
     if len(fields) < 11:
         raise ParsingError("bad number of fields in alignment line")
 
-    rec = AlignmentRecord(masked=masked)
-    rec.query_start = _parse_uint(fields[1], "bad position number or query length")
-    rec.query_stop = _parse_uint(fields[2], "bad position number or query length")
-    if rec.query_start > rec.query_stop:
+    # inlined digit-validated int parsing (boost::lexical_cast semantics:
+    # plain digits only, no sign/space/underscore)
+    f1, f2, f3, f5, f6, f9, f10 = (
+        fields[1], fields[2], fields[3], fields[5], fields[6], fields[9], fields[10]
+    )
+    if not (
+        f1.isdigit() and f2.isdigit() and f3.isdigit()
+        and f5.isdigit() and f6.isdigit()
+    ):
+        raise ParsingError("bad position number or query length")
+    query_start = int(f1)
+    query_stop = int(f2)
+    if query_start > query_stop:
         raise ParsingError(
             "reverse query positions not allowed (only reference positions can "
             "be swapped to indicate the reverse complement, adjust input"
         )
-    rec.query_length = _parse_uint(fields[3], "bad position number or query length")
-    rec.reference_start = _parse_uint(fields[5], "bad position number or query length")
-    rec.reference_stop = _parse_uint(fields[6], "bad position number or query length")
     try:
-        rec.score = np.float32(fields[7])
+        score = _float32(fields[7])
     except ValueError:
         raise ParsingError("bad score", value=fields[7]) from None
     try:
-        rec.evalue = float(fields[8])
+        evalue = float(fields[8])
     except ValueError:
         raise ParsingError("bad E-value", value=fields[8]) from None
-    rec.identities = _parse_uint(fields[9], "bad identity value")
-    rec.alignment_length = _parse_uint(fields[10], "bad alignment length")
-    if len(fields) >= 12:
-        rec.alignment_code = fields[11]
-    rec.query_identifier = fields[0]
-    rec.reference_identifier = fields[4]
-    return rec
+    if not f9.isdigit():
+        raise ParsingError("bad identity value", value=f9)
+    if not f10.isdigit():
+        raise ParsingError("bad alignment length", value=f10)
+    return AlignmentRecord(
+        query_identifier=fields[0],
+        query_start=query_start,
+        query_stop=query_stop,
+        query_length=int(f3),
+        reference_identifier=fields[4],
+        reference_start=int(f5),
+        reference_stop=int(f6),
+        score=score,
+        evalue=evalue,
+        identities=int(f9),
+        alignment_length=int(f10),
+        alignment_code=fields[11] if len(fields) >= 12 else "",
+        masked=masked,
+    )
 
 
 def iter_alignment_records(stream):
