@@ -103,3 +103,40 @@ def test_indexed_query_store(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "rtax=2111111" in out
+
+
+def test_taxknife_traverse_keep_flags(tmp_path, monkeypatch, capsys):
+    import io
+    from fixture_tax import write_dump
+    from taxtk.cli import taxknife as tk
+
+    write_dump(str(tmp_path))
+    monkeypatch.setenv("TAXATORTK_TAXONOMY_NCBI", str(tmp_path))
+
+    # unknown taxid skipped by default
+    monkeypatch.setattr(sys, "stdin", io.StringIO("99999\n2111111\n"))
+    assert tk.main(["--mode", "traverse", "-r", "genus"]) == 0
+    out = capsys.readouterr().out
+    assert out == "211111\t\n"
+
+    # -t keeps unknown taxids; -b replaces them
+    monkeypatch.setattr(sys, "stdin", io.StringIO("99999\n"))
+    assert tk.main(["--mode", "traverse", "-r", "genus", "-t", "-b", "NA"]) == 0
+    assert capsys.readouterr().out == "NA\t\n"
+
+    # -k keeps taxa with no matching rank (root fallthrough) as original id
+    monkeypatch.setattr(sys, "stdin", io.StringIO("2\n"))  # superkingdom
+    assert tk.main(["--mode", "traverse", "-r", "genus", "-k"]) == 0
+    assert capsys.readouterr().out == "2\t\n"
+
+
+def test_taxknife_annotate_rank(tmp_path, monkeypatch, capsys):
+    import io
+    from fixture_tax import write_dump
+    from taxtk.cli import taxknife as tk
+
+    write_dump(str(tmp_path))
+    monkeypatch.setenv("TAXATORTK_TAXONOMY_NCBI", str(tmp_path))
+    monkeypatch.setattr(sys, "stdin", io.StringIO("2111111\n21111\n"))
+    assert tk.main(["--mode", "annotate", "-s", "rank"]) == 0
+    assert capsys.readouterr().out == "species\t\nfamily\t\n"
