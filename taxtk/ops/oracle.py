@@ -19,9 +19,13 @@ documentation of the exact semantics adopted from the reference:
     normfactor = len / selfscore
     distance   = (selfscore - 2*mutual) * normfactor
     similarity = (2*mutual) * normfactor
-  where selfscore = sum of BLOSUM62 diagonal over A plus over B (SeqAn's
-  self-alignment is the identity alignment because the BLOSUM62 diagonal
-  dominates each row and gaps only lose score).
+  where selfscore = sum of BLOSUM62 diagonal over A plus over B.  This
+  equals SeqAn's full self-alignment: BLOSUM62 satisfies
+  2*s(x,y) <= s(x,x) + s(y,y) for every letter pair (verified exhaustively
+  over the 27-letter alphabet), so any matching of positions scores at most
+  the identity matching and gap columns only subtract — the identity
+  alignment is optimal (also brute-force-checked against NW including the
+  X/O/U/* letters whose diagonals are not row maxima).
 """
 
 from __future__ import annotations
