@@ -44,8 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--seqid-taxid-mapping")
     p.add_argument("-q", "--query-sequences")
     p.add_argument("-v", "--query-sequences-index")
-    p.add_argument("-f", "--ref-sequences")
-    p.add_argument("-i", "--ref-sequences-index")
+    # -f/-i may be REPEATED to serve the database from refpack shards
+    # (see taxtk.parallel.refpack / `taxtk-tools split-refpack`); the
+    # reference accepts exactly one of each (core/taxator.cpp:283-286)
+    p.add_argument("-f", "--ref-sequences", action="append")
+    p.add_argument("-i", "--ref-sequences-index", action="append")
     p.add_argument("-p", "--processors", type=int, default=1)
     p.add_argument("-l", "--logfile", default="/dev/null")
     p.add_argument("-b", "--dataformat", default="nucleotide")
@@ -120,7 +123,7 @@ def main(argv=None) -> int:
                 if args.db_whitelist
                 else None
             )
-            db_store = _open_store(
+            db_store = _open_db_store(
                 args.ref_sequences, args.ref_sequences_index, whitelist
             )
             logsink = None
@@ -196,6 +199,24 @@ def _open_store(fasta, index, whitelist):
     if index:
         return IndexedFastaStore(fasta, index)
     return InMemoryFastaStore(fasta, whitelist)
+
+
+def _open_db_store(fastas, indexes, whitelist):
+    """One `-f` -> plain store; repeated `-f` -> hash-routed shard stores
+    (each `-i` pairs with the `-f` at the same position)."""
+    if not fastas:
+        raise TaxtkError("missing FASTA file argument")
+    if indexes and len(indexes) not in (0, len(fastas)):
+        raise TaxtkError("need one -i per -f (or none)")
+    stores = [
+        _open_store(fa, indexes[k] if indexes else None, whitelist)
+        for k, fa in enumerate(fastas)
+    ]
+    if len(stores) == 1:
+        return stores[0]
+    from ..parallel.refpack import ShardedRefpackStore
+
+    return ShardedRefpackStore(stores)
 
 
 def _resolved_records(stream, seqid2taxid, tax):

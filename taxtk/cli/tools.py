@@ -113,6 +113,13 @@ def main(argv=None) -> int:
     m.add_argument("--protein", action="store_true")
     g = sub.add_parser("map-prot-dna")
     g.add_argument("gene_gff3")
+    s = sub.add_parser("split-refpack")
+    s.add_argument("fasta")
+    s.add_argument("outdir")
+    s.add_argument("-n", "--shards", type=int, required=True)
+    s.add_argument("-g", "--mapping", default=None)
+    s.add_argument("--index", action="store_true",
+                   help="also build a .fai for each shard")
     args = p.parse_args(argv)
 
     if args.cmd == "strip-fasta-identifiers":
@@ -129,6 +136,25 @@ def main(argv=None) -> int:
         convert_maf(sys.stdin, sys.stdout, protein=args.protein)
     elif args.cmd == "map-prot-dna":
         map_prot_dna(sys.stdin, sys.stdout, args.gene_gff3)
+    elif args.cmd == "split-refpack":
+        from ..parallel.refpack import split_refpack
+
+        if args.shards < 1:
+            print("error: --shards must be >= 1", file=sys.stderr)
+            return 1
+        try:
+            parts = split_refpack(
+                args.fasta, args.shards, args.outdir, mapping_path=args.mapping
+            )
+        except OSError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        for fa, mp in parts:
+            if args.index:
+                from ..refpack.store import FaiIndex
+
+                FaiIndex.build(fa).save(fa + ".fai")
+            print(fa if mp is None else f"{fa}\t{mp}")
     return 0
 
 

@@ -61,7 +61,10 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
         acode = acode_ref[:]
 
         def body(d, carry):
-            (s_prev, s_pp, ma_prev, ma_pp, dc_prev, dc_pp,
+            # sh_* carry the SHIFTED previous diagonals: the value shifted at
+            # step d-1 for v_val is exactly the diagonal-shift (pp_s) needed
+            # at step d, halving the expensive lane-rotate count
+            (s_prev, ma_prev, dc_prev, sh_s, sh_ma, sh_dc,
              res_s, res_ma, res_dc, bx, buf) = carry
             # sliding text window, all-static lane shifts: the incoming
             # character streams from a 128-lane refill buffer loaded with an
@@ -90,11 +93,11 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             sub = jnp.where(bx < _AA_N, terms[0], _NEG)
             is_match = (acode == bx) & (bx < _AA_N)
 
-            s_pp_s = shift_right(s_pp, _NEG)
+            s_pp_s = sh_s
+            ma_pp_s = sh_ma
+            dc_pp_s = sh_dc
             s_prev_s = shift_right(s_prev, _NEG)
-            ma_pp_s = shift_right(ma_pp, 0)
             ma_prev_s = shift_right(ma_prev, 0)
-            dc_pp_s = shift_right(dc_pp, 0)
             dc_prev_s = shift_right(dc_prev, 0)
 
             d_val = s_pp_s + sub
@@ -121,13 +124,15 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             res_s = jnp.where(done, new_s, res_s)
             res_ma = jnp.where(done, new_ma, res_ma)
             res_dc = jnp.where(done, new_dc, res_dc)
-            return (new_s, s_prev, new_ma, ma_prev, new_dc, dc_prev,
+            return (new_s, new_ma, new_dc, s_prev_s, ma_prev_s, dc_prev_s,
                     res_s, res_ma, res_dc, bx, buf)
 
         init = (s0, zero, zero, zero, zero, zero,
                 res_s0, zero, zero,
                 zero + 255,              # bx: all-sentinel before step 1
                 zero[:, 0:128] + 255)    # refill buffer (overwritten at k=0)
+        # carry layout: (s_prev, ma_prev, dc_prev, sh_s, sh_ma, sh_dc, ...);
+        # sh_* start at zero — step-1 cells are all boundary-overridden
         out = jax.lax.fori_loop(1, steps, body, init)
         s_out[:] = out[6]
         ma_out[:] = out[7]
@@ -182,7 +187,7 @@ def _round_up(x, m):
 
 
 def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
-                                 sub_tile: int = 8, interpret: bool = False):
+                                 sub_tile: int = 64, interpret: bool = False):
     """Drop-in for protein_align.batched_protein_align (TPU path).
 
     Returns the same dict of numpy arrays (distances etc. computed with the
