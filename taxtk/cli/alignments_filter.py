@@ -10,7 +10,7 @@ import argparse
 import sys
 
 from ..constants import PROGRAM_VERSION
-from ..formats.alignments import iter_alignment_records
+from ..native.parse import iter_alignment_records_fast
 from ..formats.mapping import load_seqid_taxid_mapping
 from ..engine.recordsets import iter_record_sets
 from ..engine.filters import (
@@ -84,7 +84,7 @@ def main(argv=None) -> int:
         filters.append(MinSupportFilter(args.min_support))
 
     try:
-        records = (rec for _, rec in iter_alignment_records(sys.stdin))
+        records = (rec for _, rec in iter_alignment_records_fast(sys.stdin))
         for rset in iter_record_sets(records, split_alignments=False):
             for f in filters:
                 f.filter(rset)

@@ -13,7 +13,7 @@ import argparse
 import sys
 
 from ..constants import DEFAULT_RANKS, PROGRAM_VERSION, CITATION_NOTE
-from ..formats.alignments import iter_alignment_records
+from ..native.parse import iter_alignment_records_fast
 from ..formats.gff3 import PredictionRecord, GFF3_HEADER
 from ..formats.mapping import load_seqid_taxid_mapping
 from ..engine.recordsets import iter_record_sets
@@ -221,8 +221,11 @@ def _open_db_store(fastas, indexes, whitelist):
 
 def _resolved_records(stream, seqid2taxid, tax):
     """AlignmentRecordTaxonomy analog: resolve the reference taxon at parse
-    time; unknown mappings/taxa are fatal (reference: alignmentrecord.hh:211-228)."""
-    for _, rec in iter_alignment_records(stream):
+    time; unknown mappings/taxa are fatal (reference: alignmentrecord.hh:211-228).
+
+    Uses the native columnar parser (taxtk/native/io.cpp) with transparent
+    fallback to the Python line parser."""
+    for _, rec in iter_alignment_records_fast(stream):
         taxid = seqid2taxid.get(rec.reference_identifier)
         if taxid is None:
             raise TaxtkError(

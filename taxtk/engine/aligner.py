@@ -186,9 +186,24 @@ class BatchAligner:
             elif self.dna_backend == "myers-pallas":
                 from ..ops.pallas_myers import batched_edit_distance_pallas_myers
 
-                dist = batched_edit_distance_pallas_myers(
-                    a_codes, b_codes, a_len, b_len
-                )
+                try:
+                    dist = batched_edit_distance_pallas_myers(
+                        a_codes, b_codes, a_len, b_len
+                    )
+                except Exception as e:  # pragma: no cover - device-specific
+                    # graceful degradation: a kernel that cannot compile or
+                    # launch (e.g. VMEM pressure on an unusual shape) must
+                    # not kill the run — the XLA formulation always works
+                    if not getattr(self, "_pallas_warned", False):
+                        import sys
+
+                        print(
+                            f"taxtk: pallas kernel fallback ({type(e).__name__}); "
+                            "using XLA myers for this bucket",
+                            file=sys.stderr,
+                        )
+                        self._pallas_warned = True
+                    dist = batched_edit_distance_myers(a_codes, b_codes, a_len, b_len)
             else:
                 dist = np.asarray(
                     batched_edit_distance(a_codes, b_codes, a_len, b_len)

@@ -142,3 +142,162 @@ void taxtk_encode(const uint8_t* src, int64_t n, int protein, uint8_t* dst) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Columnar alignment-TSV parser (the 11+1-column format, doc/fileformats.md).
+//
+// Parses a whole buffer of '\n'-terminated lines into columnar arrays so the
+// Python side only materializes record objects (the reference parses one
+// line at a time through boost::lexical_cast, alignmentrecord.hh:95-158).
+// Semantics mirror taxtk.formats.alignments.parse_alignment_line exactly:
+// empty lines and '#' comments are skipped, lines of length <= 1 are errors,
+// a '*' prefix masks, query positions must not be reversed, position/count
+// fields are plain-digit only, score/evalue parse as float/double.
+
+namespace {
+
+inline bool all_digits(const char* s, int64_t n) {
+    if (n <= 0) return false;
+    for (int64_t i = 0; i < n; ++i)
+        if (s[i] < '0' || s[i] > '9') return false;
+    return true;
+}
+
+inline int64_t parse_digits(const char* s, int64_t n) {
+    // caller validated digits; saturate far beyond uint32 range
+    int64_t v = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (v > (int64_t)1 << 61) return (int64_t)1 << 61;
+        v = v * 10 + (s[i] - '0');
+    }
+    return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Error codes mirror ParsingError reasons in formats/alignments.py.
+enum {
+    TAXTK_PARSE_OK = 0,
+    TAXTK_PARSE_TOO_SHORT = -1,
+    TAXTK_PARSE_BAD_FIELDS = -2,
+    TAXTK_PARSE_BAD_POSITION = -3,
+    TAXTK_PARSE_REVERSED_QUERY = -4,
+    TAXTK_PARSE_BAD_SCORE = -5,
+    TAXTK_PARSE_BAD_EVALUE = -6,
+    TAXTK_PARSE_BAD_IDENTITY = -7,
+    TAXTK_PARSE_BAD_ALNLEN = -8,
+};
+
+// buf[0:len) = whole lines (caller carries any partial tail line).
+// start_lineno = 1-based line number of buf's first line.
+// Outputs are caller-allocated with capacity >= number of lines in buf.
+// nums layout: [cap][7] = qstart qstop qlen rstart rstop identities alnlen.
+// Returns record count (>= 0) or a negative error code with *err_line set.
+int64_t taxtk_parse_alignments(
+    const char* buf, int64_t len, int64_t start_lineno,
+    int64_t* qid_off, int32_t* qid_len,
+    int64_t* rid_off, int32_t* rid_len,
+    int64_t* nums, float* score, double* evalue,
+    int64_t* cig_off, int32_t* cig_len,
+    uint8_t* masked, int64_t* lineno_out, int64_t* err_line) {
+    int64_t nrec = 0;
+    int64_t lineno = start_lineno - 1;
+    int64_t pos = 0;
+    while (pos < len) {
+        ++lineno;
+        const char* nl = (const char*)memchr(buf + pos, '\n', len - pos);
+        int64_t end = nl ? (nl - buf) : len;  // line = buf[pos:end)
+        int64_t lstart = pos;
+        pos = end + 1;
+        int64_t llen = end - lstart;
+        if (llen == 0) continue;                 // empty_line
+        if (buf[lstart] == '#') continue;        // ignore_line
+        *err_line = lineno;
+        if (llen <= 1) return TAXTK_PARSE_TOO_SHORT;
+        bool is_masked = buf[lstart] == '*';
+        int64_t b = lstart + (is_masked ? 1 : 0);
+
+        // split into at most 13 fields on '\t' (str.split(sep, 12))
+        int64_t foff[13];
+        int64_t flen[13];
+        int nf = 0;
+        int64_t fs = b;
+        for (int64_t i = b; i <= end && nf < 13; ++i) {
+            if (i == end || (buf[i] == '\t' && nf < 12)) {
+                foff[nf] = fs;
+                flen[nf] = i - fs;
+                ++nf;
+                fs = i + 1;
+                if (i == end) break;
+            }
+        }
+        if (nf == 13 && foff[12] + flen[12] < end) flen[12] = end - foff[12];
+        if (nf < 11) return TAXTK_PARSE_BAD_FIELDS;
+
+        const char* f1 = buf + foff[1];
+        const char* f2 = buf + foff[2];
+        const char* f3 = buf + foff[3];
+        const char* f5 = buf + foff[5];
+        const char* f6 = buf + foff[6];
+        if (!all_digits(f1, flen[1]) || !all_digits(f2, flen[2]) ||
+            !all_digits(f3, flen[3]) || !all_digits(f5, flen[5]) ||
+            !all_digits(f6, flen[6]))
+            return TAXTK_PARSE_BAD_POSITION;
+        int64_t qstart = parse_digits(f1, flen[1]);
+        int64_t qstop = parse_digits(f2, flen[2]);
+        if (qstart > qstop) return TAXTK_PARSE_REVERSED_QUERY;
+
+        char tmp[64];
+        char* endp = nullptr;
+        float sc;
+        if (flen[7] > 0 && flen[7] < 63) {
+            memcpy(tmp, buf + foff[7], flen[7]);
+            tmp[flen[7]] = 0;
+            sc = strtof(tmp, &endp);
+            if (endp != tmp + flen[7]) return TAXTK_PARSE_BAD_SCORE;
+        } else {
+            return TAXTK_PARSE_BAD_SCORE;
+        }
+        double ev;
+        if (flen[8] > 0 && flen[8] < 63) {
+            memcpy(tmp, buf + foff[8], flen[8]);
+            tmp[flen[8]] = 0;
+            ev = strtod(tmp, &endp);
+            if (endp != tmp + flen[8]) return TAXTK_PARSE_BAD_EVALUE;
+        } else {
+            return TAXTK_PARSE_BAD_EVALUE;
+        }
+        if (!all_digits(buf + foff[9], flen[9])) return TAXTK_PARSE_BAD_IDENTITY;
+        if (!all_digits(buf + foff[10], flen[10])) return TAXTK_PARSE_BAD_ALNLEN;
+
+        qid_off[nrec] = foff[0];
+        qid_len[nrec] = (int32_t)flen[0];
+        rid_off[nrec] = foff[4];
+        rid_len[nrec] = (int32_t)flen[4];
+        int64_t* nn = nums + nrec * 7;
+        nn[0] = qstart;
+        nn[1] = qstop;
+        nn[2] = parse_digits(f3, flen[3]);
+        nn[3] = parse_digits(f5, flen[5]);
+        nn[4] = parse_digits(f6, flen[6]);
+        nn[5] = parse_digits(buf + foff[9], flen[9]);
+        nn[6] = parse_digits(buf + foff[10], flen[10]);
+        score[nrec] = sc;
+        evalue[nrec] = ev;
+        if (nf >= 12) {
+            cig_off[nrec] = foff[11];
+            cig_len[nrec] = (int32_t)flen[11];
+        } else {
+            cig_off[nrec] = 0;
+            cig_len[nrec] = 0;
+        }
+        masked[nrec] = is_masked ? 1 : 0;
+        lineno_out[nrec] = lineno;
+        ++nrec;
+    }
+    return nrec;
+}
+
+}  // extern "C"

@@ -38,6 +38,22 @@ def _pow2(x: int) -> int:
     return n
 
 
+def _quantize_K(K: int) -> int:
+    """Quantize the pattern block count to a small launch-shape set
+    (zero peq/hmask pad blocks are inert): {1,2,3,4,8,16,24,32,64} then
+    multiples of 64.  Each distinct K is one (expensive remote) compile.
+    The VMEM budget is ~56KB/K (peq + hmask + Pv/Mv, double-buffered):
+    K=192 — the aligner's 6144bp pattern cap — fits in ~12MB, while a
+    pow2 jump to 256 would exceed the 16MB scoped-vmem limit."""
+    if K > 64:
+        return -(-K // 64) * 64
+    if K > 32:
+        return 64
+    if K > 4:
+        return -(-K // 8) * 8
+    return K
+
+
 def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
     def kernel(
         peq_ref,  # [K, ALPHA, SUB, LANE] u32
@@ -168,12 +184,7 @@ def batched_edit_distance_pallas_myers(
     peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
     N = text.shape[0]
 
-    # quantize K to a small shape set (zero peq/hmask pad blocks are inert):
-    # {1,2,4,8,16,24,32} then powers of two — each distinct K is a compile
-    if K > 32:
-        K = _pow2(K)
-    elif K > 4:
-        K = -(-K // 8) * 8
+    K = _quantize_K(K)
     if K > peq.shape[0]:
         peq = np.concatenate(
             [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]

@@ -74,3 +74,35 @@ def test_pallas_myers_interpret_chunked():
         [oracle.edit_distance(encode_dna(a), encode_dna(b)) for a, b in pairs]
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_k_quantization_ladder():
+    # VMEM-safety: K never jumps past 192 for the aligner's 6144bp cap
+    from taxtk.ops.pallas_myers import _quantize_K
+
+    assert [_quantize_K(k) for k in (1, 2, 3, 4, 5, 8, 9, 24, 25, 32)] == [
+        1, 2, 3, 4, 8, 8, 16, 24, 32, 32]
+    assert _quantize_K(33) == 64
+    assert _quantize_K(64) == 64
+    assert _quantize_K(65) == 128
+    assert _quantize_K(128) == 128
+    assert _quantize_K(129) == 192
+    assert _quantize_K(192) == 192  # = ceil(6144/32), the aligner cap
+
+
+def test_pallas_myers_interpret_multiblock_k64():
+    # pattern > 32 blocks exercises the quantized-K pad-block path
+    rng = random.Random(5)
+    pairs = []
+    for _ in range(4):
+        a = "".join(rng.choice("ACGT") for _ in range(rng.randint(1025, 1100)))
+        b = a[:200]
+        pairs.append((a, b))
+    ac, bc, al, bl = _batch(pairs)
+    got = batched_edit_distance_pallas_myers(
+        ac, bc, al, bl, text_chunk=128, interpret=True
+    )
+    want = np.array(
+        [oracle.edit_distance(encode_dna(a), encode_dna(b)) for a, b in pairs]
+    )
+    np.testing.assert_array_equal(got, want)
