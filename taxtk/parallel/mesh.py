@@ -29,7 +29,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    import functools as _functools
+
+    # disable varying-manual-axes checking (same semantics as the old
+    # check_rep=False): the kernel scans carry unsharded initial values
+    shard_map = _functools.partial(jax.shard_map, check_vma=False)
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.dna_align import _edit_distance_kernel
 
@@ -125,7 +132,6 @@ def distributed_classify_step(mesh: Mesh, path_matrix: np.ndarray):
             P("dp", "tp"),
         ),
         out_specs=(P("dp"), P("dp"), P("dp")),
-        check_rep=False,
     )
     return jax.jit(sharded)
 
