@@ -47,16 +47,15 @@ def main():
 
         B, M = a.shape
         N = b.shape[1]
-        SUB = 64
+        SUB = int(os.environ.get("TAXTK_PROTEIN_SUB", "256"))
         Mp1 = pp._round_up(M + 1, pp.LANE)
         Npad = pp._round_up(max(N, 1), pp.LANE)
         steps = Mp1 + Npad
         fwd_w = pp._round_up(steps, 128)
         n_tiles = max(1, -(-B // SUB))
         Bp = n_tiles * SUB
-        prof_a = pp.BLOSUM62[np.minimum(a, pp._AA_N - 1)]
-        prof_g = np.full((pp._AA_N, Bp, Mp1), pp._NEG, np.int32)
-        prof_g[:, :B, 1 : M + 1] = np.transpose(prof_a, (2, 0, 1))
+        prof_g = np.zeros((pp._NWORDS, Bp, Mp1), np.int32)
+        prof_g[:, :B, 1 : M + 1] = pp._PACKED[:, np.minimum(a, pp._AA_N - 1)]
         acode = np.full((Bp, Mp1), 255, np.int32)
         acode[:B, 1 : M + 1] = a
         fwd = np.full((Bp, fwd_w), 255, np.int32)
@@ -68,6 +67,18 @@ def main():
 
         dev = [jnp.asarray(v) for v in (prof_g, acode, fwd, tgt, alen_p)]
         jax.block_until_ready(dev)
+
+        raw = jax.jit(
+            lambda p_, a_, f_, t_: pp._raw_call(
+                p_, a_, f_, t_, SUB, Mp1, steps, fwd_w, n_tiles
+            )
+        )
+        out = jax.block_until_ready(raw(*dev[:4]))  # compile
+        t0 = time.time()
+        for _ in range(args.rounds):
+            out = jax.block_until_ready(raw(*dev[:4]))
+        dt = (time.time() - t0) / args.rounds
+        print(f"pallas RAW kernel:  {dt*1000:.1f} ms = {cells/dt/1e9:.2f} GCUPS", flush=True)
 
         run = lambda: pp._call(*dev, SUB, Mp1, steps, fwd_w, n_tiles)
         out = jax.block_until_ready(run())  # compile

@@ -120,6 +120,15 @@ def main(argv=None) -> int:
     s.add_argument("-g", "--mapping", default=None)
     s.add_argument("--index", action="store_true",
                    help="also build a .fai for each shard")
+    sv = sub.add_parser(
+        "serve-shard",
+        help="serve a refpack shard's segment fetches over TCP "
+        "(see taxtk.parallel.shardserver)",
+    )
+    sv.add_argument("fasta", help="shard FASTA (a .fai is built if missing)")
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=0,
+                    help="0 = pick a free port (printed on stdout)")
     args = p.parse_args(argv)
 
     if args.cmd == "strip-fasta-identifiers":
@@ -155,6 +164,17 @@ def main(argv=None) -> int:
 
                 FaiIndex.build(fa).save(fa + ".fai")
             print(fa if mp is None else f"{fa}\t{mp}")
+    elif args.cmd == "serve-shard":
+        from ..parallel.shardserver import ShardServer
+        from ..refpack.store import IndexedFastaStore
+
+        store = IndexedFastaStore(args.fasta)
+        server = ShardServer(store, host=args.host, port=args.port)
+        print(f"{server.port}", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
     return 0
 
 

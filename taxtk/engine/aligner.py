@@ -10,6 +10,7 @@ padding, never values.
 
 from __future__ import annotations
 
+import time as _time
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -27,15 +28,23 @@ def _pow2ceil(x: int, minimum: int = 16) -> int:
     return n
 
 
-def _default_dna_backend() -> str:
+def _on_accelerator() -> bool:
     try:
         import jax
 
-        if jax.devices()[0].platform not in ("cpu",):
-            return "myers-pallas"
+        return jax.devices()[0].platform not in ("cpu",)
     except Exception:
-        pass
-    return "myers"
+        return False
+
+
+def _default_dna_backend() -> str:
+    return "myers-pallas" if _on_accelerator() else "myers"
+
+
+def _default_protein_backend() -> str:
+    # measured on v5e (benchmarks/bench_protein_device.py): pallas 1.11
+    # GCUPS vs XLA wavefront 0.09 GCUPS device-only, identical outputs
+    return "wavefront-pallas" if _on_accelerator() else "wavefront"
 
 
 class BatchAligner:
@@ -62,10 +71,9 @@ class BatchAligner:
         assert mode in ("dna", "protein")
         self.mode = mode
         self.dna_backend = dna_backend or _default_dna_backend()
-        # protein: "wavefront" (XLA scan, portable; current default — the
-        # pallas variant is correct on TPU but its 27-way blosum select is
-        # not yet competitive) or "wavefront-pallas"
-        self.protein_backend = protein_backend or "wavefront"
+        # protein: "wavefront-pallas" (TPU default) or "wavefront"
+        # (XLA scan, portable; CPU default)
+        self.protein_backend = protein_backend or _default_protein_backend()
         # cap on batch * M * N cells per launch to bound device memory
         self.max_batch_cells = max_batch_cells
         # patterns longer than this (both sides long) go to the native host
@@ -142,6 +150,11 @@ class BatchAligner:
                 key = (_pow2ceil(len(a)), _pow2ceil(len(b)))
                 buckets.setdefault(key, []).append(k)
 
+        # dispatch every bucket before blocking on any readback: kernels are
+        # queued asynchronously and D2H copies start as each finishes, so
+        # the ~170 ms/transfer tunnel latency overlaps with compute instead
+        # of serializing one bucket at a time
+        finishers = []
         for (M, N), idxs in buckets.items():
             if M == 0:
                 # Myers bucket: word-packed cost is ~cells/32
@@ -151,11 +164,15 @@ class BatchAligner:
                 max_pairs = max(1, self.max_batch_cells // (M * N))
             for off in range(0, len(idxs), max_pairs):
                 chunk = idxs[off : off + max_pairs]
-                self._run_bucket(pairs, chunk, M, N, results)
+                self._run_bucket(pairs, chunk, M, N, results, finishers)
+        t0 = _time.time()
+        for fin in finishers:
+            fin()
+        self._tick("device_wait", t0)
         self.pairs_aligned += len(pairs)
         return results
 
-    def _run_bucket(self, pairs, idxs, M, N, results):
+    def _run_bucket(self, pairs, idxs, M, N, results, finishers=None):
         import time
 
         t0 = time.time()
@@ -180,56 +197,106 @@ class BatchAligner:
         if self.mode == "dna":
             if self.dna_backend == "myers":
                 if self.mesh is not None:
-                    dist = self._myers_sharded(a_codes, b_codes, a_len, b_len)
+                    raw = self._myers_sharded(a_codes, b_codes, a_len, b_len)
                 else:
-                    dist = batched_edit_distance_myers(a_codes, b_codes, a_len, b_len)
+                    raw = batched_edit_distance_myers(
+                        a_codes, b_codes, a_len, b_len, lazy=True
+                    )
             elif self.dna_backend == "myers-pallas":
                 from ..ops.pallas_myers import batched_edit_distance_pallas_myers
 
                 try:
-                    dist = batched_edit_distance_pallas_myers(
-                        a_codes, b_codes, a_len, b_len
+                    raw = batched_edit_distance_pallas_myers(
+                        a_codes, b_codes, a_len, b_len, lazy=True
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     # graceful degradation: a kernel that cannot compile or
                     # launch (e.g. VMEM pressure on an unusual shape) must
                     # not kill the run — the XLA formulation always works
-                    if not getattr(self, "_pallas_warned", False):
-                        import sys
-
-                        print(
-                            f"taxtk: pallas kernel fallback ({type(e).__name__}); "
-                            "using XLA myers for this bucket",
-                            file=sys.stderr,
-                        )
-                        self._pallas_warned = True
-                    dist = batched_edit_distance_myers(a_codes, b_codes, a_len, b_len)
+                    self._warn_fallback(e, "XLA myers")
+                    raw = batched_edit_distance_myers(
+                        a_codes, b_codes, a_len, b_len, lazy=True
+                    )
             else:
-                dist = np.asarray(
+                raw = np.asarray(
                     batched_edit_distance(a_codes, b_codes, a_len, b_len)
                 )
-            lendiff = np.abs(a_len - b_len)
-            mismatches = dist - lendiff
-            matches = np.minimum(a_len, b_len) - mismatches
             self._tick("device", t0)
-            t0 = time.time()
-            for r, k in enumerate(idxs):
-                results[k] = AlignValue(
-                    distance=f32(dist[r]), similarity=f32(matches[r])
-                )
-            self._tick("collect", t0)
+
+            def finish_dna(raw=raw, idxs=idxs, a_len=a_len, b_len=b_len,
+                           a_codes=a_codes, b_codes=b_codes):
+                t0 = _time.time()
+                if callable(raw):
+                    try:
+                        dist = raw()
+                    except Exception as e:  # pragma: no cover - device-specific
+                        self._warn_fallback(e, "XLA myers")
+                        dist = batched_edit_distance_myers(
+                            a_codes, b_codes, a_len, b_len
+                        )
+                else:
+                    dist = raw
+                lendiff = np.abs(a_len - b_len)
+                mismatches = dist - lendiff
+                matches = np.minimum(a_len, b_len) - mismatches
+                for r, k in enumerate(idxs):
+                    results[k] = AlignValue(
+                        distance=f32(dist[r]), similarity=f32(matches[r])
+                    )
+                self._tick("collect", t0)
+
+            if finishers is None:
+                finish_dna()
+            else:
+                finishers.append(finish_dna)
         else:
             if self.protein_backend == "wavefront-pallas":
                 from ..ops.pallas_protein import batched_protein_align_pallas
 
-                out = batched_protein_align_pallas(a_codes, b_codes, a_len, b_len)
+                try:
+                    raw = batched_protein_align_pallas(
+                        a_codes, b_codes, a_len, b_len, lazy=True
+                    )
+                except Exception as e:  # pragma: no cover - device-specific
+                    # same graceful degradation as the DNA pallas path
+                    self._warn_fallback(e, "XLA wavefront")
+                    raw = batched_protein_align(
+                        a_codes, b_codes, a_len, b_len, lazy=True
+                    )
             else:
-                out = batched_protein_align(a_codes, b_codes, a_len, b_len)
-            for r, k in enumerate(idxs):
-                results[k] = AlignValue(
-                    distance=f32(out["distance"][r]),
-                    similarity=f32(out["similarity"][r]),
-                )
+                raw = batched_protein_align(a_codes, b_codes, a_len, b_len, lazy=True)
+            self._tick("device", t0)
+
+            def finish_protein(raw=raw, idxs=idxs, a_len=a_len, b_len=b_len,
+                               a_codes=a_codes, b_codes=b_codes):
+                t0 = _time.time()
+                try:
+                    out = raw()
+                except Exception as e:  # pragma: no cover - device-specific
+                    self._warn_fallback(e, "XLA wavefront")
+                    out = batched_protein_align(a_codes, b_codes, a_len, b_len)
+                for r, k in enumerate(idxs):
+                    results[k] = AlignValue(
+                        distance=f32(out["distance"][r]),
+                        similarity=f32(out["similarity"][r]),
+                    )
+                self._tick("collect", t0)
+
+            if finishers is None:
+                finish_protein()
+            else:
+                finishers.append(finish_protein)
+
+    def _warn_fallback(self, e, what):  # pragma: no cover - device-specific
+        if not getattr(self, "_pallas_warned", False):
+            import sys
+
+            print(
+                f"taxtk: pallas kernel fallback ({type(e).__name__}); "
+                f"using {what} for this bucket",
+                file=sys.stderr,
+            )
+            self._pallas_warned = True
 
     def _myers_sharded(self, a_codes, b_codes, a_len, b_len):
         """Myers kernel with the pair batch sharded over the mesh "dp" axis

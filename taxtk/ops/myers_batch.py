@@ -139,8 +139,22 @@ def _myers_kernel(peq, text, hmask, m_len, n_len):
     return result
 
 
-def batched_edit_distance_myers(a_codes, b_codes, a_len, b_len):
-    """Drop-in for dna_align.batched_edit_distance (XLA bit-parallel path)."""
+def start_host_copy(device_arr):
+    """Kick off an async device->host copy if the runtime supports it."""
+    try:
+        device_arr.copy_to_host_async()
+    except Exception:
+        pass
+    return device_arr
+
+
+def batched_edit_distance_myers(a_codes, b_codes, a_len, b_len, lazy=False):
+    """Drop-in for dna_align.batched_edit_distance (XLA bit-parallel path).
+
+    lazy=True returns a zero-arg closure finishing the host readback; the
+    kernel is dispatched (and the D2H copy started) immediately, so callers
+    can pipeline several buckets before blocking on any transfer.
+    """
     a_codes = np.asarray(a_codes)
     b_codes = np.asarray(b_codes)
     a_len = np.asarray(a_len, np.int32)
@@ -154,4 +168,8 @@ def batched_edit_distance_myers(a_codes, b_codes, a_len, b_len):
         jnp.asarray(n_len),
     )
     # empty pattern: the bit machinery has no zero-width mode
-    return np.where(m_len == 0, n_len, np.asarray(out))
+    finish = lambda: np.where(m_len == 0, n_len, np.asarray(out))
+    if lazy:
+        start_host_copy(out)
+        return finish
+    return finish()

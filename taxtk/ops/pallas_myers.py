@@ -174,8 +174,11 @@ def batched_edit_distance_pallas_myers(
     text_chunk: int = 512,
     interpret: bool = False,
     sub_tile: int = DEFAULT_SUB,
+    lazy: bool = False,
 ):
-    """Drop-in for dna_align.batched_edit_distance (TPU bit-parallel path)."""
+    """Drop-in for dna_align.batched_edit_distance (TPU bit-parallel path).
+
+    lazy=True returns a zero-arg finish closure (see myers_batch)."""
     a_codes = np.asarray(a_codes)
     b_codes = np.asarray(b_codes)
     a_len = np.asarray(a_len, np.int32)
@@ -238,8 +241,16 @@ def batched_edit_distance_pallas_myers(
             n_tiles,
             SUB,
         )
-    out = np.asarray(kernel_out).reshape(Bp)[:B]
-    return np.where(m_len == 0, n_len, out)
+    def finish():
+        out = np.asarray(kernel_out).reshape(Bp)[:B]
+        return np.where(m_len == 0, n_len, out)
+
+    if lazy:
+        from .myers_batch import start_host_copy
+
+        start_host_copy(kernel_out)
+        return finish
+    return finish()
 
 
 def _call_interpret(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):

@@ -1,22 +1,32 @@
 """Pallas TPU kernel: batched protein global alignment (BLOSUM62, linear gap).
 
 Anti-diagonal wavefront with the pair batch in sublanes and the pattern
-(sequence A) dimension in lanes.  All carries — two score diagonals plus
-match-count and diagonal-step-count stat diagonals — ride in loop-carried
-registers.  The sliding text window uses only STATIC lane moves: the
+(sequence A) dimension in lanes.  All carries ride in loop-carried
+registers; VMEM scratch is touched only to materialize concrete initial
+layouts.  The sliding text window uses only STATIC lane moves: the
 incoming character streams from a 128-lane refill buffer (refilled every
 128 steps with an aligned dynamic slice) consumed from lane 0 by a fixed
 left-rotate, and the window itself advances with a fixed right-rotate —
 Mosaic rejects unaligned dynamic slices and lowers dynamic-distance
 rotates poorly.
 
-The substitution score is a 27-way masked multiply-accumulate over a
-per-position BLOSUM profile of A precomputed on the host
-(prof[c][i] = BLOSUM62[a[i-1], c]) — independent terms, no gathers, no
-select dependency chain.
+Two kernel-v2 optimizations over the first (27-term masked-MAC) version:
+
+* **4-bit packed profile.**  BLOSUM62 values fit [-4, 11], so each
+  per-position profile entry packs into 4 bits (bias +4).  The 27 residue
+  planes collapse into 4 int32 planes of 8 nibbles each; the substitution
+  score is extracted with one variable vector shift + mask instead of a
+  27-way masked multiply-accumulate (≈13 vector ops vs ≈81), and profile
+  VMEM shrinks 6.75x, which lets the sublane tile grow.
+
+* **Packed stat state.**  The match-count and diagonal-step-count
+  wavefronts always select the same traceback arm, so they ride ONE int32
+  carry (dc in the high 16 bits, matches in the low 16): 11 register
+  carries drop to 8 and one lane-rotate per step disappears.
 
 Semantics identical to protein_align._protein_kernel (SeqAn tie-break:
-diagonal > consume-B > consume-A); tested equal in interpret mode.
+diagonal > consume-B > consume-A); tested equal in interpret mode and on
+device (reference: taxonpredictionmodelsequence.hh:173-242).
 """
 
 from __future__ import annotations
@@ -34,13 +44,16 @@ from .blosum import BLOSUM62, GAP_SCORE
 
 _AA_N = BLOSUM62.shape[0]
 _NEG = np.int32(-(1 << 24))
+_BIAS = 4  # BLOSUM62 min is -4 -> nibble range [0, 15]
+_NWORDS = (_AA_N + 7) // 8  # 4 int32 words hold 27 nibbles
 LANE = 128
+_DC_ONE = np.int32(1 << 16)  # packed stats: dc in high 16 bits, ma in low
 
 
 def _make_kernel(SUB: int, Mp1: int, steps: int):
     gap = int(GAP_SCORE)
 
-    def kernel(prof_ref, acode_ref, fwd_ref, tgt_ref, s_out, ma_out, dc_out,
+    def kernel(prof_ref, acode_ref, fwd_ref, tgt_ref, s_out, madc_out,
                i0_ref, i1_ref, i2_ref):
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp1), 1)
         target_d = tgt_ref[:]  # [SUB, Mp1] (row-constant)
@@ -59,18 +72,15 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
         zero = i1_ref[:]
         res_s0 = i2_ref[:]
         acode = acode_ref[:]
+        pw = [prof_ref[w] for w in range(_NWORDS)]
 
         def body(d, carry):
             # sh_* carry the SHIFTED previous diagonals: the value shifted at
             # step d-1 for v_val is exactly the diagonal-shift (pp_s) needed
             # at step d, halving the expensive lane-rotate count
-            (s_prev, ma_prev, dc_prev, sh_s, sh_ma, sh_dc,
-             res_s, res_ma, res_dc, bx, buf) = carry
-            # sliding text window, all-static lane shifts: the incoming
-            # character streams from a 128-lane refill buffer loaded with an
-            # ALIGNED dynamic slice every 128 steps and consumed from lane 0
-            # by rolling left; bx shifts right by one with the new char at
-            # lane 0 (no unaligned or dynamic-distance lane moves anywhere)
+            (s_prev, madc_prev, sh_s, sh_madc,
+             res_s, res_madc, bx, buf) = carry
+            # sliding text window, all-static lane shifts (see module doc)
             k = d - 1
             base = pl.multiple_of((k // 128) * 128, 128)
             window = fwd_ref[:, pl.ds(base, 128)]
@@ -78,27 +88,23 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             buf = jnp.where((k % 128) == 0, window, pltpu.roll(buf, 127, axis=1))
             newval = buf[:, 0:1]
             bx = jnp.where(col == 0, newval, pltpu.roll(bx, 1, axis=1))
-            # masked multiply-accumulate, explicitly tree-reduced so the
-            # accumulation is log-depth instead of a 27-long add chain
-            terms = [
-                (bx == c).astype(jnp.int32) * prof_ref[c] for c in range(_AA_N)
-            ]
-            while len(terms) > 1:
-                nxt = [
-                    terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)
-                ]
-                if len(terms) % 2:
-                    nxt.append(terms[-1])
-                terms = nxt
-            sub = jnp.where(bx < _AA_N, terms[0], _NEG)
-            is_match = (acode == bx) & (bx < _AA_N)
+
+            # 4-bit packed profile extraction: word = pw[bx >> 3],
+            # nibble = (word >> ((bx & 7) * 4)) & 15, score = nibble - 4
+            widx = jax.lax.shift_right_logical(bx, 3)
+            word = jnp.where(widx == 1, pw[1], pw[0])
+            word = jnp.where(widx == 2, pw[2], word)
+            word = jnp.where(widx == 3, pw[3], word)
+            nshift = jax.lax.shift_left(jnp.bitwise_and(bx, 7), 2)
+            nib = jnp.bitwise_and(jax.lax.shift_right_logical(word, nshift), 15)
+            valid = bx < _AA_N
+            sub = jnp.where(valid, nib - _BIAS, _NEG)
+            is_match = ((acode == bx) & valid).astype(jnp.int32)
 
             s_pp_s = sh_s
-            ma_pp_s = sh_ma
-            dc_pp_s = sh_dc
+            madc_pp_s = sh_madc
             s_prev_s = shift_right(s_prev, _NEG)
-            ma_prev_s = shift_right(ma_prev, 0)
-            dc_prev_s = shift_right(dc_prev, 0)
+            madc_prev_s = shift_right(madc_prev, 0)
 
             d_val = s_pp_s + sub
             v_val = s_prev_s + gap  # consume A char, gap column in B
@@ -108,35 +114,30 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             take_h = (~take_d) & (h_val == best)
 
             new_s = best
-            new_ma = jnp.where(
-                take_d, ma_pp_s + is_match, jnp.where(take_h, ma_prev, ma_prev_s)
-            )
-            new_dc = jnp.where(
-                take_d, dc_pp_s + 1, jnp.where(take_h, dc_prev, dc_prev_s)
+            new_madc = jnp.where(
+                take_d,
+                madc_pp_s + is_match + _DC_ONE,
+                jnp.where(take_h, madc_prev, madc_prev_s),
             )
 
             on_edge = (col == 0) | (col == d)
             new_s = jnp.where(on_edge, gap * d, new_s)
-            new_ma = jnp.where(on_edge, 0, new_ma)
-            new_dc = jnp.where(on_edge, 0, new_dc)
+            new_madc = jnp.where(on_edge, 0, new_madc)
 
             done = d == target_d
             res_s = jnp.where(done, new_s, res_s)
-            res_ma = jnp.where(done, new_ma, res_ma)
-            res_dc = jnp.where(done, new_dc, res_dc)
-            return (new_s, new_ma, new_dc, s_prev_s, ma_prev_s, dc_prev_s,
-                    res_s, res_ma, res_dc, bx, buf)
+            res_madc = jnp.where(done, new_madc, res_madc)
+            return (new_s, new_madc, s_prev_s, madc_prev_s,
+                    res_s, res_madc, bx, buf)
 
-        init = (s0, zero, zero, zero, zero, zero,
-                res_s0, zero, zero,
+        init = (s0, zero, zero, zero,
+                res_s0, zero,
                 zero + 255,              # bx: all-sentinel before step 1
                 zero[:, 0:128] + 255)    # refill buffer (overwritten at k=0)
-        # carry layout: (s_prev, ma_prev, dc_prev, sh_s, sh_ma, sh_dc, ...);
         # sh_* start at zero — step-1 cells are all boundary-overridden
         out = jax.lax.fori_loop(1, steps, body, init)
-        s_out[:] = out[6]
-        ma_out[:] = out[7]
-        dc_out[:] = out[8]
+        s_out[:] = out[4]
+        madc_out[:] = out[5]
 
     return kernel
 
@@ -145,14 +146,15 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
     jax.jit, static_argnames=("SUB", "Mp1", "steps", "fwd_w", "n_tiles", "interpret")
 )
 def _call(prof, acode, fwd, tgt, alen, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
-    s, ma, dc = _raw_call(
+    s, madc = _raw_call(
         prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret
     )
-    # harvest the answer lane on device: D2H shrinks from full rasters to
-    # three [B] vectors
+    # harvest the answer lane on device AND stack: D2H shrinks from full
+    # rasters to ONE [2, B] transfer (the tunnel has ~170 ms fixed latency
+    # per readback)
     idx = alen[:, None]
     pick = lambda arr: jnp.take_along_axis(arr, idx, axis=1)[:, 0]
-    return pick(s), pick(ma), pick(dc)
+    return jnp.stack([pick(s), pick(madc)])
 
 
 def _raw_call(prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
@@ -160,17 +162,16 @@ def _raw_call(prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret=
     shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp1), jnp.int32)
     return pl.pallas_call(
         kernel,
-        out_shape=(shape, shape, shape),
+        out_shape=(shape, shape),
         grid=(n_tiles,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((_AA_N, SUB, Mp1), lambda p: (0, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NWORDS, SUB, Mp1), lambda p: (0, p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, fwd_w), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ),
@@ -186,12 +187,27 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+# nibble-packed BLOSUM column table: _PACKED[w, a] = int32 packing
+# (BLOSUM62[a, 8w+j] + 4) << 4j for j in 0..7
+def _packed_table():
+    tbl = np.zeros((_NWORDS, _AA_N), np.int64)
+    for a in range(_AA_N):
+        for c in range(_AA_N):
+            tbl[c // 8, a] |= (int(BLOSUM62[a, c]) + _BIAS) << (4 * (c % 8))
+    return tbl.astype(np.uint32).view(np.int32).reshape(_NWORDS, _AA_N)
+
+
+_PACKED = _packed_table()
+
+
 def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
-                                 sub_tile: int = 64, interpret: bool = False):
+                                 sub_tile: int = 256, interpret: bool = False,
+                                 lazy: bool = False):
     """Drop-in for protein_align.batched_protein_align (TPU path).
 
     Returns the same dict of numpy arrays (distances etc. computed with the
-    reference's float32 normalization on host).
+    reference's float32 normalization on host).  lazy=True returns a
+    zero-arg finish closure instead (kernel dispatched immediately).
     """
     a_codes = np.asarray(a_codes)
     b_codes = np.asarray(b_codes)
@@ -208,10 +224,9 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     n_tiles = max(1, -(-B // SUB))
     Bp = n_tiles * SUB
 
-    # prof_g[c, pair, i+1] = BLOSUM62[a[pair, i], c]
-    prof_a = BLOSUM62[np.minimum(a_codes, _AA_N - 1)]  # [B, M, AA]
-    prof_g = np.full((_AA_N, Bp, Mp1), _NEG, np.int32)
-    prof_g[:, :B, 1 : M + 1] = np.transpose(prof_a, (2, 0, 1))
+    # packed per-position profile: prof_g[w, pair, i+1] = _PACKED[w, a[pair, i]]
+    prof_g = np.zeros((_NWORDS, Bp, Mp1), np.int32)
+    prof_g[:, :B, 1 : M + 1] = _PACKED[:, np.minimum(a_codes, _AA_N - 1)]
     acode = np.full((Bp, Mp1), 255, np.int32)
     acode[:B, 1 : M + 1] = a_codes
     # forward text stream: the char consumed at step d is fwd[d-1] = b[d-1]
@@ -222,7 +237,7 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
 
     alen_p = np.zeros(Bp, np.int32)
     alen_p[:B] = a_len
-    s, ma, dc = _call(
+    stacked = _call(
         jnp.asarray(prof_g),
         jnp.asarray(acode),
         jnp.asarray(fwd),
@@ -235,37 +250,53 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
         n_tiles,
         interpret,
     )
-    mutual = np.asarray(s)[:B]
-    matches = np.asarray(ma)[:B]
-    diag = np.asarray(dc)[:B]
-    # empty-side pairs
-    empty = (a_len == 0) | (b_len == 0)
-    mutual = np.where(empty, GAP_SCORE * np.maximum(a_len, b_len), mutual)
-    matches = np.where(empty, 0, matches)
-    diag = np.where(empty, 0, diag)
+    def finish():
+        st = np.asarray(stacked)
+        mutual = st[0, :B]
+        madc = st[1, :B]
+        matches = madc & 0xFFFF
+        diag = madc >> 16
+        # empty-side pairs
+        empty = (a_len == 0) | (b_len == 0)
+        mutual = np.where(empty, GAP_SCORE * np.maximum(a_len, b_len), mutual)
+        matches = np.where(empty, 0, matches)
+        diag = np.where(empty, 0, diag)
 
-    mismatches = diag - matches
-    gaps = a_len + b_len - 2 * diag
-    length = matches + mismatches + gaps
-    diag_scores = np.diag(BLOSUM62)
-    mask_a = np.arange(M)[None, :] < a_len[:, None]
-    mask_b = np.arange(b_codes.shape[1])[None, :] < b_len[:, None]
-    self_a = np.where(mask_a, diag_scores[np.minimum(a_codes, _AA_N - 1)], 0).sum(axis=1)
-    self_b = np.where(mask_b, diag_scores[np.minimum(b_codes, _AA_N - 1)], 0).sum(axis=1)
-    selfscore = (self_a + self_b).astype(np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        normfactor = np.where(
-            selfscore != 0, length.astype(np.float32) / selfscore.astype(np.float32), 0
-        ).astype(np.float32)
-    distance = (selfscore - 2 * mutual).astype(np.float32) * normfactor
-    similarity = (2 * mutual).astype(np.float32) * normfactor
-    return {
-        "mutual": mutual,
-        "selfscore": selfscore,
-        "matches": matches,
-        "mismatches": mismatches,
-        "gaps": gaps,
-        "length": length,
-        "distance": distance,
-        "similarity": similarity,
-    }
+        mismatches = diag - matches
+        gaps = a_len + b_len - 2 * diag
+        length = matches + mismatches + gaps
+        diag_scores = np.diag(BLOSUM62)
+        mask_a = np.arange(M)[None, :] < a_len[:, None]
+        mask_b = np.arange(b_codes.shape[1])[None, :] < b_len[:, None]
+        self_a = np.where(
+            mask_a, diag_scores[np.minimum(a_codes, _AA_N - 1)], 0
+        ).sum(axis=1)
+        self_b = np.where(
+            mask_b, diag_scores[np.minimum(b_codes, _AA_N - 1)], 0
+        ).sum(axis=1)
+        selfscore = (self_a + self_b).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            normfactor = np.where(
+                selfscore != 0,
+                length.astype(np.float32) / selfscore.astype(np.float32),
+                0,
+            ).astype(np.float32)
+        distance = (selfscore - 2 * mutual).astype(np.float32) * normfactor
+        similarity = (2 * mutual).astype(np.float32) * normfactor
+        return {
+            "mutual": mutual,
+            "selfscore": selfscore,
+            "matches": matches,
+            "mismatches": mismatches,
+            "gaps": gaps,
+            "length": length,
+            "distance": distance,
+            "similarity": similarity,
+        }
+
+    if lazy:
+        from .myers_batch import start_host_copy
+
+        start_host_copy(stacked)
+        return finish
+    return finish()

@@ -104,15 +104,18 @@ def _protein_kernel(a_ext, rbp, a_len, b_len):
         jnp.arange(1, M + N + 1, dtype=jnp.int32),
     )
     pick = lambda arr: jnp.take_along_axis(arr, a_len[:, None], axis=1)[:, 0]
-    return pick(res[0]), pick(res[1]), pick(res[2])
+    # one stacked output => ONE device->host transfer (the tunnel has ~170 ms
+    # fixed latency per readback; three separate transfers dominated runtime)
+    return jnp.stack([pick(res[0]), pick(res[1]), pick(res[2])])
 
 
-def batched_protein_align(a_codes, b_codes, a_len, b_len):
+def batched_protein_align(a_codes, b_codes, a_len, b_len, lazy=False):
     """Protein alignment for a padded batch.
 
     Returns dict of numpy arrays: mutual score, matches, mismatches, gaps,
     length, and the reference's float32 distance/similarity normalization
-    (selfscore computed from the BLOSUM diagonal).
+    (selfscore computed from the BLOSUM diagonal).  lazy=True returns a
+    zero-arg finish closure instead (kernel dispatched immediately).
     """
     a_codes = np.asarray(a_codes)
     b_codes = np.asarray(b_codes)
@@ -124,38 +127,50 @@ def batched_protein_align(a_codes, b_codes, a_len, b_len):
     pad = np.full((Bsz, M + 1), 255, np.uint8)
     rbp = np.concatenate([pad, rb, pad], axis=1)
 
-    mutual, matches, diag = _protein_kernel(
+    dev = _protein_kernel(
         jnp.asarray(a_ext, jnp.int32),
         jnp.asarray(rbp, jnp.int32),
         jnp.asarray(a_len),
         jnp.asarray(b_len),
     )
-    mutual = np.asarray(mutual)
-    matches = np.asarray(matches)
-    diag = np.asarray(diag)
 
-    mismatches = diag - matches
-    gaps = a_len + b_len - 2 * diag
-    length = matches + mismatches + gaps
+    def finish():
+        stacked = np.asarray(dev)
+        mutual, matches, diag = stacked[0], stacked[1], stacked[2]
 
-    diag_scores = np.diag(BLOSUM62)
-    # selfscore over true (unpadded) lengths
-    mask_a = np.arange(M)[None, :] < a_len[:, None]
-    mask_b = np.arange(b_codes.shape[1])[None, :] < b_len[:, None]
-    self_a = np.where(mask_a, diag_scores[np.minimum(a_codes, _AA_N - 1)], 0).sum(axis=1)
-    self_b = np.where(mask_b, diag_scores[np.minimum(b_codes, _AA_N - 1)], 0).sum(axis=1)
-    selfscore = (self_a + self_b).astype(np.int64)
+        mismatches = diag - matches
+        gaps = a_len + b_len - 2 * diag
+        length = matches + mismatches + gaps
 
-    normfactor = length.astype(np.float32) / selfscore.astype(np.float32)
-    distance = (selfscore - 2 * mutual).astype(np.float32) * normfactor
-    similarity = (2 * mutual).astype(np.float32) * normfactor
-    return {
-        "mutual": mutual,
-        "selfscore": selfscore,
-        "matches": matches,
-        "mismatches": mismatches,
-        "gaps": gaps,
-        "length": length,
-        "distance": distance,
-        "similarity": similarity,
-    }
+        diag_scores = np.diag(BLOSUM62)
+        # selfscore over true (unpadded) lengths
+        mask_a = np.arange(M)[None, :] < a_len[:, None]
+        mask_b = np.arange(b_codes.shape[1])[None, :] < b_len[:, None]
+        self_a = np.where(
+            mask_a, diag_scores[np.minimum(a_codes, _AA_N - 1)], 0
+        ).sum(axis=1)
+        self_b = np.where(
+            mask_b, diag_scores[np.minimum(b_codes, _AA_N - 1)], 0
+        ).sum(axis=1)
+        selfscore = (self_a + self_b).astype(np.int64)
+
+        normfactor = length.astype(np.float32) / selfscore.astype(np.float32)
+        distance = (selfscore - 2 * mutual).astype(np.float32) * normfactor
+        similarity = (2 * mutual).astype(np.float32) * normfactor
+        return {
+            "mutual": mutual,
+            "selfscore": selfscore,
+            "matches": matches,
+            "mismatches": mismatches,
+            "gaps": gaps,
+            "length": length,
+            "distance": distance,
+            "similarity": similarity,
+        }
+
+    if lazy:
+        from .myers_batch import start_host_copy
+
+        start_host_copy(dev)
+        return finish
+    return finish()
