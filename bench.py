@@ -133,7 +133,7 @@ def main():
         pairs = [(a[i, : al[i]], b[i, : bl[i]]) for i in range(n)]
         sub_cells = float(sum(int(al[i]) * int(bl[i]) for i in range(n)))
         t0 = time.time()
-        cpu_out = myers_batch(pairs)
+        cpu_out = myers_batch(pairs, n_threads=1)  # single-core baseline
         cpu_gcups = sub_cells / (time.time() - t0) / 1e9
         vs_baseline = device_gcups / cpu_gcups
         assert (device_result[:n] == cpu_out).all(), "kernel vs native mismatch"

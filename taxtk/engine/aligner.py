@@ -132,8 +132,21 @@ class BatchAligner:
             else:
                 work.append(k)
 
+        host_thread = None
         if host_long:
-            self._run_host_long(pairs, host_long, results)
+            # run the native host path CONCURRENTLY with the device buckets:
+            # the C++ batch releases the GIL and work-steals across cores,
+            # so long-segment host alignment hides behind device rounds
+            import threading
+
+            t_start = _time.time()
+
+            def _host_work():
+                self._run_host_long(pairs, host_long, results)
+                self._tick("host_long", t_start)
+
+            host_thread = threading.Thread(target=_host_work)
+            host_thread.start()
 
         buckets: Dict[Tuple[int, int], List[int]] = {}
         if self.mode == "dna" and self.dna_backend in ("myers", "myers-pallas"):
@@ -169,6 +182,8 @@ class BatchAligner:
         for fin in finishers:
             fin()
         self._tick("device_wait", t0)
+        if host_thread is not None:
+            host_thread.join()
         self.pairs_aligned += len(pairs)
         return results
 

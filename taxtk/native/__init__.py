@@ -31,6 +31,7 @@ def _build() -> bool:
                 "-march=native",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 _SRC,
                 "-o",
                 _LIB_PATH,
@@ -70,6 +71,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        try:
+            lib.taxtk_myers_batch_mt.restype = None
+            lib.taxtk_myers_batch_mt.argtypes = (
+                lib.taxtk_myers_batch.argtypes + [ctypes.c_int]
+            )
+        except AttributeError:  # pragma: no cover - stale .so
+            pass
         _lib = lib
         return _lib
 
@@ -87,10 +95,15 @@ def myers_edit_distance(a: np.ndarray, b: np.ndarray) -> int:
     )
 
 
-def myers_batch(pairs) -> np.ndarray:
-    """pairs: list of (a_codes, b_codes) uint8 arrays -> int32 distances."""
+def myers_batch(pairs, n_threads: int = 0) -> np.ndarray:
+    """pairs: list of (a_codes, b_codes) uint8 arrays -> int32 distances.
+
+    n_threads: 0 = all cores (dynamic work-stealing in C++), 1 = the
+    single-core baseline path (used by bench.py as the CPU reference)."""
     lib = load()
     assert lib is not None, "native library unavailable"
+    if n_threads == 0:
+        n_threads = os.cpu_count() or 1
     n = len(pairs)
     a_flat = np.concatenate([np.ascontiguousarray(a, np.uint8) for a, _ in pairs]) if n else np.zeros(0, np.uint8)
     b_flat = np.concatenate([np.ascontiguousarray(b, np.uint8) for _, b in pairs]) if n else np.zeros(0, np.uint8)
@@ -108,7 +121,7 @@ def myers_batch(pairs) -> np.ndarray:
         a_flat = np.zeros(1, np.uint8)
     if len(b_flat) == 0:
         b_flat = np.zeros(1, np.uint8)
-    lib.taxtk_myers_batch(
+    args = (
         a_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         a_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -118,4 +131,8 @@ def myers_batch(pairs) -> np.ndarray:
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if n_threads > 1 and hasattr(lib, "taxtk_myers_batch_mt"):
+        lib.taxtk_myers_batch_mt(*args, n_threads)
+    else:
+        lib.taxtk_myers_batch(*args)
     return out

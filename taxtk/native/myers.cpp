@@ -9,8 +9,10 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC myers.cpp -o libtaxtk_native.so
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -90,6 +92,32 @@ void taxtk_myers_batch(const uint8_t* a_flat, const int64_t* a_off, const int32_
         out[k] = myers_edit_distance(a_flat + a_off[k], a_len[k],
                                      b_flat + b_off[k], b_len[k]);
     }
+}
+
+// multithreaded batch: dynamic work-stealing over pairs (pair costs are
+// wildly uneven — long-segment routing sends 6kbp..100kbp pairs here)
+void taxtk_myers_batch_mt(const uint8_t* a_flat, const int64_t* a_off, const int32_t* a_len,
+                          const uint8_t* b_flat, const int64_t* b_off, const int32_t* b_len,
+                          int n_pairs, int32_t* out, int n_threads) {
+    if (n_threads <= 1 || n_pairs <= 1) {
+        taxtk_myers_batch(a_flat, a_off, a_len, b_flat, b_off, b_len, n_pairs, out);
+        return;
+    }
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            const int k = next.fetch_add(1);
+            if (k >= n_pairs) return;
+            out[k] = myers_edit_distance(a_flat + a_off[k], a_len[k],
+                                         b_flat + b_off[k], b_len[k]);
+        }
+    };
+    std::vector<std::thread> ts;
+    const int nt = std::min(n_threads, n_pairs);
+    ts.reserve(nt - 1);
+    for (int t = 1; t < nt; ++t) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
 }
 
 }  // extern "C"
