@@ -50,7 +50,7 @@ def main():
     float(chained(*dev, jnp.int32(0)))
     cells = int(al.astype(np.int64) @ bl.astype(np.int64))
 
-    for R in (1, 2, 5, 10):
+    for R in (1, 2, 5, 10, 25, 50, 100):
         t0 = time.time()
         acc = []
         for i in range(R):

@@ -170,9 +170,14 @@ class BatchAligner:
         finishers = []
         for (M, N), idxs in buckets.items():
             if M == 0:
-                # Myers bucket: word-packed cost is ~cells/32
+                # Myers bucket: word-packed cost is ~cells/32.  Floor at one
+                # full pair tile (1024): the kernel ships [text, 1024]-wide
+                # arrays regardless of the real pair count, so filling the
+                # tile amortizes the H2D bytes over up to 32x more pairs
                 M = N
-                max_pairs = max(1, self.max_batch_cells // max(1, (M * N) // 32))
+                max_pairs = max(
+                    1024, self.max_batch_cells // max(1, (M * N) // 32)
+                )
             else:
                 max_pairs = max(1, self.max_batch_cells // (M * N))
             for off in range(0, len(idxs), max_pairs):

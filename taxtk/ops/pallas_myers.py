@@ -200,8 +200,12 @@ def batched_edit_distance_pallas_myers(
     TILE = SUB * LANE
     n_tiles = max(1, -(-B // TILE))
     if not interpret:
-        # canonical group size -> stable compiled shape
-        n_tiles = max(GROUP_TILES, _pow2(n_tiles))
+        # two-point canonical shape ladder: a single tile (1024 pairs) for
+        # small buckets, the full group for anything larger.  Long-text
+        # buckets are pair-chunked to <=32 pairs by the aligner's cell
+        # budget, and padding those to the 8-tile group made the text H2D
+        # (~134 MB at 16k texts) the dominant engine cost — 8x saved here.
+        n_tiles = 1 if n_tiles == 1 else GROUP_TILES
     Bp = n_tiles * TILE
     Tc = min(text_chunk, _pow2(max(1, N)))
     n_chunks = max(1, -(-N // Tc))
