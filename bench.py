@@ -25,7 +25,9 @@ import time
 
 import numpy as np
 
-B, L, ROUNDS = 8192, 512, 8  # one canonical 8-tile kernel group per round
+B, L, ROUNDS = 8192, 512, 32  # one canonical 8-tile kernel group per round;
+# enough rounds that total device time swamps the remote service's ~0.77s
+# synchronization quantum (see docs/DESIGN.md section 7)
 
 
 def _run_with_watchdog(timeout_s=1500):
@@ -111,14 +113,15 @@ def main():
         d_args = [jnp.asarray(x) for x in (peq_t, text_t, hmask_t, nlen_t, mlen_t)]
         run = lambda *args: pm._call(*args, K, Tc, n_chunks, n_tiles, SUB)
 
-    # warm (compile) then timed rounds; results concatenate on device so a
-    # single readback serves all rounds (tunnel D2H has ~170ms fixed cost)
+    # warm (compile) then timed rounds.  block_until_ready does not reliably
+    # separate dispatch from execution on the remote axon backend, so the
+    # timed section is closed by ONE tiny forced readback (a device-side
+    # reduction over every round's output) — the only sync that counts.
     out = run(*d_args)
-    out.block_until_ready()
+    _ = float(jnp.asarray(out).sum())
     t0 = time.time()
     outs = [run(*d_args) for _ in range(ROUNDS)]
-    for o in outs:
-        o.block_until_ready()
+    _chk = float(jnp.stack([jnp.asarray(o).sum() for o in outs]).sum())
     dt = time.time() - t0
     device_gcups = ROUNDS * cells / dt / 1e9
     device_result = np.asarray(outs[-1]).reshape(-1)[:B]

@@ -79,6 +79,12 @@ class BatchAligner:
         # patterns longer than this (both sides long) go to the native host
         # Myers: their peq tables would not fit the VMEM window
         self.long_pattern_threshold = 6144
+        # chunked-kernel caps (see ops/pallas_myers.py): patterns up to
+        # 96kbp / texts up to 256kbp stay on device; beyond -> host C++
+        from ..ops.pallas_myers import LONG_PATTERN_CAP, LONG_TEXT_CAP
+
+        self.tpu_long_pattern_cap = LONG_PATTERN_CAP
+        self.tpu_long_text_cap = LONG_TEXT_CAP
         self.pairs_aligned = 0
         self.cells_computed = 0
         self.stage_seconds = {}  # per-phase accounting (kernel vs staging)
@@ -119,6 +125,7 @@ class BatchAligner:
         # degenerate pairs resolved on host; very long DNA patterns (peq
         # would exceed the VMEM budget) route to the native host Myers
         work: List[int] = []
+        tpu_long: List[int] = []
         host_long: List[int] = []
         for k, (a, b) in enumerate(pairs):
             if len(a) == 0 or len(b) == 0:
@@ -128,7 +135,17 @@ class BatchAligner:
                 and self.dna_backend in ("myers", "myers-pallas")
                 and min(len(a), len(b)) > self.long_pattern_threshold
             ):
-                host_long.append(k)
+                # pattern exceeds the single-launch VMEM budget; the
+                # pattern-block-chunked pallas kernel handles it on device
+                # up to the caps, beyond which the native host path runs
+                if (
+                    self.dna_backend == "myers-pallas"
+                    and min(len(a), len(b)) <= self.tpu_long_pattern_cap
+                    and max(len(a), len(b)) <= self.tpu_long_text_cap
+                ):
+                    tpu_long.append(k)
+                else:
+                    host_long.append(k)
             else:
                 work.append(k)
 
@@ -168,6 +185,9 @@ class BatchAligner:
         # the ~170 ms/transfer tunnel latency overlaps with compute instead
         # of serializing one bucket at a time
         finishers = []
+
+        if tpu_long:
+            self._dispatch_tpu_long(pairs, tpu_long, results, finishers)
         for (M, N), idxs in buckets.items():
             if M == 0:
                 # Myers bucket: word-packed cost is ~cells/32.  Floor at one
@@ -191,6 +211,76 @@ class BatchAligner:
             host_thread.join()
         self.pairs_aligned += len(pairs)
         return results
+
+    def _dispatch_tpu_long(self, pairs, idxs_all, results, finishers):
+        """Long-pattern pairs through the pattern-block-chunked pallas
+        kernel (ops/pallas_myers.py), bucketed by pow2 text length and
+        chunked to full pair tiles; falls back to the host batch on any
+        device failure."""
+        from ..ops.pallas_myers import batched_edit_distance_pallas_myers_long
+
+        lbuckets: Dict[int, List[int]] = {}
+        for k in idxs_all:
+            a, b = pairs[k]
+            lbuckets.setdefault(_pow2ceil(max(len(a), len(b))), []).append(k)
+        for N, idxs in lbuckets.items():
+            for off in range(0, len(idxs), 1024):
+                chunk = idxs[off : off + 1024]
+                t0 = _time.time()
+                B = len(chunk)
+                maxa = max(len(pairs[k][0]) for k in chunk)
+                maxb = max(len(pairs[k][1]) for k in chunk)
+                a_codes = np.zeros((B, maxa), np.uint8)
+                b_codes = np.zeros((B, maxb), np.uint8)
+                a_len = np.zeros(B, np.int32)
+                b_len = np.zeros(B, np.int32)
+                for r, k in enumerate(chunk):
+                    a, b = pairs[k]
+                    a_codes[r, : len(a)] = a
+                    b_codes[r, : len(b)] = b
+                    a_len[r] = len(a)
+                    b_len[r] = len(b)
+                self.cells_computed += int((a_len.astype(np.int64) * b_len).sum())
+                self._tick("stage_batch", t0)
+                t0 = _time.time()
+                try:
+                    raw = batched_edit_distance_pallas_myers_long(
+                        a_codes, b_codes, a_len, b_len, lazy=True
+                    )
+                except Exception as e:  # pragma: no cover - device-specific
+                    self._warn_fallback(e, "host myers")
+                    raw = None
+                self._tick("device", t0)
+
+                def finish_long(raw=raw, chunk=chunk, a_len=a_len, b_len=b_len):
+                    t0 = _time.time()
+                    dist = None
+                    if raw is not None:
+                        try:
+                            dist = raw()
+                        except Exception as e:  # pragma: no cover
+                            self._warn_fallback(e, "host myers")
+                    if dist is None:
+                        from ..native import myers_batch, load
+
+                        if load() is not None:
+                            dist = myers_batch([pairs[k] for k in chunk])
+                        else:
+                            from ..ops import oracle
+
+                            dist = [
+                                oracle.edit_distance(*pairs[k]) for k in chunk
+                            ]
+                    for r, k in enumerate(chunk):
+                        d = int(dist[r])
+                        lendiff = abs(int(a_len[r]) - int(b_len[r]))
+                        matches = min(int(a_len[r]), int(b_len[r])) - (d - lendiff)
+                        results[k] = AlignValue(
+                            distance=f32(d), similarity=f32(matches)
+                        )
+                    self._tick("collect", t0)
+
+                finishers.append(finish_long)
 
     def _run_bucket(self, pairs, idxs, M, N, results, finishers=None):
         import time

@@ -137,6 +137,241 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
     return kernel
 
 
+def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
+    """Pattern-block-chunked variant: processes ONE block of K pattern
+    words per launch; the inter-word carry bits at the block boundary are
+    read from / written to a per-text-position carry stream (hin/hout,
+    packed ph | mh<<1 in int8), so patterns of ANY length run as a
+    sequence of launches with all DP state device-resident.  Score/result
+    ride through the launches as functional inputs/outputs; only the
+    final block's launch leaves the true scores in `res` (earlier
+    launches' harvests are overwritten)."""
+
+    def kernel(
+        peq_ref,    # [K, ALPHA, SUB, LANE] u32 (this block's pattern words)
+        text_ref,   # [Tc, SUB, LANE] i8
+        hmask_ref,  # [K, SUB, LANE] u32 (zero unless the pattern ends here)
+        nlen_ref,   # [SUB, LANE] i32
+        sin_ref,    # [SUB, LANE] i32  score carried across launches
+        rin_ref,    # [SUB, LANE] i32  result carried across launches
+        hin_ref,    # [Tc, SUB, LANE] i8  carry bits from the previous block
+        sout_ref,   # [SUB, LANE] i32
+        rout_ref,   # [SUB, LANE] i32
+        hout_ref,   # [Tc, SUB, LANE] i8  carry bits for the next block
+        pv_ref,     # scratch [K, SUB, LANE] u32
+        mv_ref,     # scratch [K, SUB, LANE] u32
+        score_ref,  # scratch [SUB, LANE] i32
+        res_ref,    # scratch [SUB, LANE] i32
+    ):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            pv_ref[:] = jnp.full((K, SUB, LANE), 0xFFFFFFFF, jnp.uint32)
+            mv_ref[:] = jnp.zeros((K, SUB, LANE), jnp.uint32)
+            score_ref[:] = sin_ref[:]
+            res_ref[:] = rin_ref[:]
+
+        n_len = nlen_ref[:]
+        base_j = t * Tc
+
+        def stepj(jj, carry):
+            pvs, mvs, score, res = carry
+            tc = text_ref[jj].astype(jnp.int32)
+            hpack = hin_ref[jj].astype(jnp.int32)
+            carry_ph = (hpack & 1).astype(jnp.uint32)
+            carry_mh = ((hpack >> 1) & 1).astype(jnp.uint32)
+            delta = jnp.zeros((SUB, LANE), jnp.int32)
+            new_pvs = []
+            new_mvs = []
+            for k in range(K):
+                eq0 = peq_ref[k, 0]
+                for c in range(1, ALPHA):
+                    eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
+                eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
+                pv_k = pvs[k]
+                mv_k = mvs[k]
+                eq = eq0 | carry_mh
+                xv = eq | mv_k
+                add = (eq & pv_k) + pv_k
+                xh = (add ^ pv_k) | eq
+                ph = mv_k | ~(xh | pv_k)
+                mh = pv_k & xh
+                hm = hmask_ref[k]
+                delta = delta + ((ph & hm) != 0).astype(jnp.int32)
+                delta = delta - ((mh & hm) != 0).astype(jnp.int32)
+                ph_shift = (ph << 1) | carry_ph
+                mh_shift = (mh << 1) | carry_mh
+                carry_ph = ph >> 31
+                carry_mh = mh >> 31
+                new_pvs.append(mh_shift | ~(xv | ph_shift))
+                new_mvs.append(ph_shift & xv)
+            hout_ref[jj] = (carry_ph | (carry_mh << 1)).astype(jnp.int8)
+            j = base_j + jj + 1
+            # freeze the score past each pair's own text end: the carried
+            # score is re-harvested at j == n_len by EVERY later launch, so
+            # it must not keep evolving over pad text (the single-launch
+            # kernel can let it drift because its harvest happens once)
+            score = score + jnp.where(j <= n_len, delta, 0)
+            res = jnp.where(j == n_len, score, res)
+            return (tuple(new_pvs), tuple(new_mvs), score, res)
+
+        carry0 = (
+            tuple(pv_ref[k] for k in range(K)),
+            tuple(mv_ref[k] for k in range(K)),
+            score_ref[:],
+            res_ref[:],
+        )
+        pvs, mvs, score, res = jax.lax.fori_loop(0, Tc, stepj, carry0)
+        for k in range(K):
+            pv_ref[k] = pvs[k]
+            mv_ref[k] = mvs[k]
+        score_ref[:] = score
+        res_ref[:] = res
+
+        @pl.when(t == n_chunks - 1)
+        def _emit():
+            sout_ref[:] = score
+            rout_ref[:] = res
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret")
+)
+def _call_chunked(peq, text, hmask, nlen, score, res, hbuf,
+                  K, Tc, n_chunks, n_tiles, SUB, interpret=False):
+    kernel = _make_kernel_chunked(K, Tc, n_chunks, SUB)
+    B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
+    H = jax.ShapeDtypeStruct(hbuf.shape, jnp.int8)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(B2, B2, H),
+        grid=(n_tiles, n_chunks),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(
+                (K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, SUB, LANE), lambda p, t: (0, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(peq, text, hmask, nlen, score, res, hbuf)
+
+
+# chunked-path shape constants: 128-word (4096bp) pattern blocks keep the
+# per-launch VMEM ~10MB; pattern/text caps bound the H2D of one bucket
+CHUNK_KC = 128
+LONG_PATTERN_CAP = 98304   # 768 words = 6 chunked launches of 128 words
+LONG_TEXT_CAP = 262144
+
+
+def batched_edit_distance_pallas_myers_long(
+    a_codes, b_codes, a_len, b_len,
+    text_chunk: int = 512, interpret: bool = False, sub_tile: int = DEFAULT_SUB,
+    block_words: int = CHUNK_KC, lazy: bool = False,
+):
+    """Pattern-block-chunked TPU path for pairs whose pattern exceeds the
+    single-launch VMEM budget (aligner routes min-side > 6144bp here).
+    Same exact semantics as batched_edit_distance_pallas_myers."""
+    a_codes = np.asarray(a_codes)
+    b_codes = np.asarray(b_codes)
+    a_len = np.asarray(a_len, np.int32)
+    b_len = np.asarray(b_len, np.int32)
+    B = a_codes.shape[0]
+    peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
+    N = text.shape[0]
+
+    Kb = block_words
+    n_blocks = max(1, -(-K // Kb))
+    Kp = n_blocks * Kb
+    if Kp > peq.shape[0]:
+        peq = np.concatenate(
+            [peq, np.zeros((Kp - peq.shape[0],) + peq.shape[1:], np.uint32)]
+        )
+        hmask = np.concatenate(
+            [hmask, np.zeros((Kp - hmask.shape[0],) + hmask.shape[1:], np.uint32)]
+        )
+
+    SUB = sub_tile
+    TILE = SUB * LANE
+    n_tiles = max(1, -(-B // TILE))
+    if not interpret:
+        n_tiles = 1 if n_tiles == 1 else GROUP_TILES
+    Bp = n_tiles * TILE
+    Tc = min(text_chunk, _pow2(max(1, N)))
+    n_chunks = max(1, -(-N // Tc))
+    if not interpret:
+        n_chunks = _pow2(n_chunks)
+    Np = n_chunks * Tc
+
+    def tile_pairs(arr, fill, dtype):
+        out = np.full(arr.shape[:-1] + (Bp,), fill, dtype)
+        out[..., :B] = arr
+        return out.reshape(arr.shape[:-1] + (n_tiles * SUB, LANE))
+
+    peq_t = tile_pairs(peq, 0, np.uint32)    # [Kp, A, tiles*SUB, LANE]
+    hmask_t = tile_pairs(hmask, 0, np.uint32)
+    mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
+    nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
+    text_p = np.full((Np, Bp), 31, np.int8)
+    text_p[:N, :B] = text
+    text_t = jnp.asarray(text_p.reshape(Np, n_tiles * SUB, LANE))
+    nlen_d = jnp.asarray(nlen_t)
+
+    score = jnp.asarray(mlen_t)
+    res = jnp.asarray(np.maximum(mlen_t, nlen_t))
+    # block-boundary carries: ph=1, mh=0 above the first pattern word
+    hbuf = jnp.ones((Np, n_tiles * SUB, LANE), jnp.int8)
+
+    for p in range(n_blocks):
+        score, res, hbuf = _call_chunked(
+            jnp.asarray(peq_t[p * Kb : (p + 1) * Kb]),
+            text_t,
+            jnp.asarray(hmask_t[p * Kb : (p + 1) * Kb]),
+            nlen_d,
+            score,
+            res,
+            hbuf,
+            Kb,
+            Tc,
+            n_chunks,
+            n_tiles,
+            SUB,
+            interpret,
+        )
+
+    def finish():
+        out = np.asarray(res).reshape(Bp)[:B]
+        return np.where(m_len == 0, n_len, out)
+
+    if lazy:
+        from .myers_batch import start_host_copy
+
+        start_host_copy(res)
+        return finish
+    return finish()
+
+
 @functools.partial(jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB"))
 def _call(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
     kernel = _make_kernel(K, Tc, n_chunks, SUB)

@@ -106,3 +106,38 @@ def test_pallas_myers_interpret_multiblock_k64():
         [oracle.edit_distance(encode_dna(a), encode_dna(b)) for a, b in pairs]
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_myers_long_chunked_interpret():
+    """Pattern-block-chunked kernel (block_words tiny to force many
+    blocks) == oracle, mixed pattern/text lengths incl. block-boundary
+    lengths and pairs whose pattern ends in different blocks."""
+    from taxtk.ops.pallas_myers import batched_edit_distance_pallas_myers_long
+
+    rng = random.Random(77)
+    pairs = _pairs(78, 10, 200, lmin=1)
+    # exact block-boundary pattern lengths (block_words=2 -> 64bp blocks)
+    for m in (63, 64, 65, 128, 129):
+        a = "".join(rng.choice(DNA) for _ in range(m))
+        b = "".join(rng.choice(DNA) for _ in range(rng.randint(1, 250)))
+        pairs.append((a, b))
+    ac, bc, al, bl = _batch(pairs)
+    got = batched_edit_distance_pallas_myers_long(
+        ac, bc, al, bl, block_words=2, text_chunk=64, interpret=True
+    )
+    for i, (a, b) in enumerate(pairs):
+        want = oracle.edit_distance(encode_dna(a), encode_dna(b))
+        assert got[i] == want, (i, len(a), len(b), got[i], want)
+
+
+def test_pallas_myers_long_matches_single_launch_interpret():
+    """Chunked path == single-launch kernel on the same batch."""
+    from taxtk.ops.pallas_myers import batched_edit_distance_pallas_myers_long
+
+    pairs = _pairs(90, 24, 150, lmin=1)
+    ac, bc, al, bl = _batch(pairs)
+    single = batched_edit_distance_pallas_myers(ac, bc, al, bl, interpret=True)
+    chunked = batched_edit_distance_pallas_myers_long(
+        ac, bc, al, bl, block_words=1, text_chunk=128, interpret=True
+    )
+    assert np.array_equal(single, chunked)
