@@ -113,7 +113,78 @@ def make_workload(outdir: str, n_contigs: int, seed: int = 7,
     return aln_path, query_fa, ref_fa, map_path, tax_dir, total_qbp
 
 
-def run_once(paths, ranks, dna_backend=None, stats=True):
+AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8)
+
+
+def make_workload_protein(outdir: str, n_orfs: int, seed: int = 7,
+                          min_len: int = 60, max_len: int = 400):
+    """blastp-style protein workload: ORF queries vs homolog proteins
+    across 6 reference proteomes (same taxonomy fixture as DNA)."""
+    from fixture_tax import write_dump
+
+    rng = np.random.RandomState(seed)
+    tax_dir = os.path.join(outdir, "tax")
+    os.makedirs(tax_dir, exist_ok=True)
+    write_dump(tax_dir)
+
+    species = ["2111111", "2111112", "2111121", "2211111", "21121", "31"]
+    n_fams = max(8, n_orfs // 8)
+    fam_len = rng.randint(min_len, max_len + 1, n_fams)
+    families = [AA[rng.randint(0, 20, L)] for L in fam_len]
+    mapping, refs = {}, {}
+    for gi, sp in enumerate(species):
+        for fi, fam in enumerate(families):
+            p = fam.copy()
+            mut = rng.rand(len(p)) < (0.05 + 0.06 * (gi % 3))
+            p[mut] = AA[rng.randint(0, 20, mut.sum())]
+            rid = f"prot{gi}_{fi}"
+            refs[rid] = p
+            mapping[rid] = sp
+    ref_fa = os.path.join(outdir, "refdata.faa")
+    with open(ref_fa, "w") as f:
+        for rid, p in refs.items():
+            f.write(f">{rid}\n{p.tobytes().decode()}\n")
+    map_path = os.path.join(outdir, "mapping.tax")
+    with open(map_path, "w") as f:
+        for rid, sp in mapping.items():
+            f.write(f"{rid}\t{sp}\n")
+
+    lines = []
+    qfa = io.StringIO()
+    total_qaa = 0
+    for q in range(n_orfs):
+        fi = int(rng.randint(0, n_fams))
+        fam = families[fi]
+        L = int(rng.randint(min(50, len(fam)), len(fam) + 1))
+        st = int(rng.randint(0, len(fam) - L + 1))
+        orf = fam[st : st + L].copy()
+        mut = rng.rand(L) < 0.03
+        orf[mut] = AA[rng.randint(0, 20, mut.sum())]
+        qid = f"contig{q}_1"  # ORF id globbing convention
+        qfa.write(f">{qid}\n{orf.tobytes().decode()}\n")
+        total_qaa += L
+        for gi in range(len(species)):
+            rid = f"prot{gi}_{fi}"
+            w = refs[rid][st : st + L]
+            ident = int((w == orf).sum())
+            if ident < 0.5 * L:
+                continue
+            score = max(5.0, 2.0 * ident - L)
+            lines.append(
+                f"{qid}\t1\t{L}\t{L}\t{rid}\t{st+1}\t{st+L}\t"
+                f"{score:.1f}\t1e-20\t{ident}\t{L}"
+            )
+    aln_path = os.path.join(outdir, "sample.alignments")
+    with open(aln_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    query_fa = os.path.join(outdir, "query.faa")
+    with open(query_fa, "w") as f:
+        f.write(qfa.getvalue())
+    return aln_path, query_fa, ref_fa, map_path, tax_dir, total_qaa
+
+
+def run_once(paths, ranks, dna_backend=None, stats=True, protein=False,
+             protein_backend=None):
     from taxtk.engine.aligner import BatchAligner
     from taxtk.engine.executor import RpaEngine
     from taxtk.engine.recordsets import iter_record_sets
@@ -138,8 +209,14 @@ def run_once(paths, ranks, dna_backend=None, stats=True):
 
     query_store = IndexedFastaStore(query_fa)
     db_store = IndexedFastaStore(ref_fa)
-    aligner = BatchAligner("dna", dna_backend=dna_backend)
-    engine = RpaEngine(tax, query_store, db_store, aligner=aligner)
+    if protein:
+        aligner = BatchAligner("protein", protein_backend=protein_backend)
+        engine = RpaEngine(
+            tax, query_store, db_store, aligner=aligner, protein=True
+        )
+    else:
+        aligner = BatchAligner("dna", dna_backend=dna_backend)
+        engine = RpaEngine(tax, query_store, db_store, aligner=aligner)
     sink = io.StringIO()
     t0 = time.time()
     engine.run(iter_record_sets(iter(recs), True, False), sink)

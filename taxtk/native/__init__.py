@@ -76,10 +76,45 @@ def load() -> Optional[ctypes.CDLL]:
             lib.taxtk_myers_batch_mt.argtypes = (
                 lib.taxtk_myers_batch.argtypes + [ctypes.c_int]
             )
+            lib.taxtk_build_peq.restype = None
+            lib.taxtk_build_peq.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int,
+            ]
         except AttributeError:  # pragma: no cover - stale .so
             pass
         _lib = lib
         return _lib
+
+
+def build_peq_native(patterns: np.ndarray, m_len: np.ndarray, K: int,
+                     alpha: int) -> Optional[np.ndarray]:
+    """peq[k, c, b] bit masks via the C++ single-pass builder; None if the
+    native library is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "taxtk_build_peq"):
+        return None
+    patterns = np.ascontiguousarray(patterns, np.uint8)
+    m_len = np.ascontiguousarray(m_len, np.int32)
+    B, Mpad = patterns.shape
+    peq = np.zeros((K, alpha, B), np.uint32)
+    lib.taxtk_build_peq(
+        patterns.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        B,
+        Mpad,
+        m_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        K,
+        alpha,
+        peq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        os.cpu_count() or 1,
+    )
+    return peq
 
 
 def myers_edit_distance(a: np.ndarray, b: np.ndarray) -> int:

@@ -94,6 +94,39 @@ void taxtk_myers_batch(const uint8_t* a_flat, const int64_t* a_off, const int32_
     }
 }
 
+// peq bit-mask builder for the device kernels: peq[k, c, b] gets bit
+// (i & 31) set iff pattern b's residue i == c (i in word k = i >> 5).
+// O(B x M) single pass vs the numpy packbits path's O(B x K x 32 x 5).
+void taxtk_build_peq(const uint8_t* pat_flat, int B, int Mpad,
+                     const int32_t* m_len, int K, int alpha,
+                     uint32_t* peq, int n_threads) {
+    memset(peq, 0, (size_t)K * alpha * B * 4);
+    auto work = [&](int b0, int b1) {
+        for (int b = b0; b < b1; ++b) {
+            const int m = m_len[b] < Mpad ? m_len[b] : Mpad;
+            const uint8_t* p = pat_flat + (size_t)b * Mpad;
+            for (int i = 0; i < m; ++i) {
+                const int c = p[i] & 31;
+                if (c >= alpha) continue;
+                peq[((size_t)(i >> 5) * alpha + c) * B + b] |= 1u << (i & 31);
+            }
+        }
+    };
+    const int nt = std::min(n_threads > 0 ? n_threads : 1, B);
+    if (nt <= 1) {
+        work(0, B);
+        return;
+    }
+    std::vector<std::thread> ts;
+    const int step = (B + nt - 1) / nt;
+    for (int t = 1; t < nt; ++t) {
+        const int b0 = t * step;
+        if (b0 < B) ts.emplace_back(work, b0, std::min(B, b0 + step));
+    }
+    work(0, std::min(B, step));
+    for (auto& t : ts) t.join();
+}
+
 // multithreaded batch: dynamic work-stealing over pairs (pair costs are
 // wildly uneven — long-segment routing sends 6kbp..100kbp pairs here)
 void taxtk_myers_batch_mt(const uint8_t* a_flat, const int64_t* a_off, const int32_t* a_len,

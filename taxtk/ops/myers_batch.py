@@ -35,10 +35,19 @@ WORD = 32
 
 def build_peq(patterns: np.ndarray, m_len: np.ndarray, K: int) -> np.ndarray:
     """patterns [B, M] uint8 codes, m_len [B] -> peq [K, ALPHA, B] uint32.
-    Bit packing via np.packbits (little-endian) — ~100x faster than
-    weight-multiply reduction for large batches."""
+
+    Prefers the native single-pass C++ builder (O(B*M)); falls back to
+    np.packbits bit packing (little-endian, O(B*K*32*ALPHA))."""
     B, M = patterns.shape
     assert K * WORD >= M, (K, M)
+    try:
+        from ..native import build_peq_native
+
+        peq = build_peq_native(patterns, m_len, K, ALPHA)
+        if peq is not None:
+            return peq
+    except Exception:
+        pass
     pad = np.full((B, K * WORD), 255, np.uint8)
     pad[:, :M] = patterns
     mask = np.arange(K * WORD)[None, :] < m_len[:, None]
@@ -71,9 +80,10 @@ def _precompute(a_codes, b_codes, a_len, b_len):
     b_pad[:, : b_codes.shape[1]] = b_codes
     patterns = np.where(swap[:, None], b_pad, a_pad)[:, : max(Mmax, 1)]
     text_rows = np.where(swap[:, None], a_pad, b_pad)[:, : max(Nmax, 1)]
-    # sentinel beyond each pair's own text length
+    # sentinel beyond each pair's own text length; kept uint8 — the device
+    # kernels compare codes directly, and int32 widening tripled the H2D
     col = np.arange(text_rows.shape[1])[None, :]
-    text = np.where(col < n_len[:, None], text_rows, 31).T.astype(np.int32)
+    text = np.ascontiguousarray(np.where(col < n_len[:, None], text_rows, 31).T)
 
     peq = build_peq(patterns, m_len, K)
     last_block = np.maximum(m_len - 1, 0) // WORD  # [B]
