@@ -242,6 +242,9 @@ def main():
     ap.add_argument("--warm", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--protein", action="store_true",
+                    help="blastp-style ORF workload through the protein "
+                    "engine (reports Maa/hour)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -254,15 +257,23 @@ def main():
 
     with tempfile.TemporaryDirectory() as d:
         t0 = time.time()
-        paths = make_workload(d, args.contigs, min_len=args.min_len,
-                              max_len=args.max_len)
+        if args.protein:
+            paths = make_workload_protein(d, args.contigs)
+        else:
+            paths = make_workload(d, args.contigs, min_len=args.min_len,
+                                  max_len=args.max_len)
         print(f"workload gen: {time.time()-t0:.1f}s", file=sys.stderr)
-        r = run_once(paths, list(DEFAULT_RANKS), args.backend)
+        r = run_once(paths, list(DEFAULT_RANKS), args.backend,
+                     protein=args.protein, protein_backend=args.backend
+                     if args.protein else None)
         if args.warm:
-            r = run_once(paths, list(DEFAULT_RANKS), args.backend)
+            r = run_once(paths, list(DEFAULT_RANKS), args.backend,
+                         protein=args.protein, protein_backend=args.backend
+                         if args.protein else None)
         mbp = r["total_qbp"] / 1e6
         hours = r["engine_s"] / 3600
-        r["mbp_per_hour"] = mbp / hours
+        unit = "maa_per_hour" if args.protein else "mbp_per_hour"
+        r[unit] = mbp / hours
         r["parse_lines_per_s"] = r["n_alignments"] / r["parse_s"]
         import json
 
