@@ -47,6 +47,28 @@ def _default_protein_backend() -> str:
     return "wavefront-pallas" if _on_accelerator() else "wavefront"
 
 
+class _DevPending:
+    """A dispatched device bucket: dev (device array, D2H copy already
+    started), post (host-array -> values), fill (values -> results),
+    fallback (host recompute on device failure)."""
+
+    __slots__ = ("dev", "post", "fill", "fallback")
+
+    def __init__(self, dev, post, fill, fallback):
+        self.dev = dev
+        self.post = post
+        self.fill = fill
+        self.fallback = fallback
+
+    def run(self, aligner):
+        try:
+            value = self.post(np.asarray(self.dev))
+        except Exception as e:  # pragma: no cover - device-specific
+            aligner._warn_fallback(e, "host recompute")
+            value = self.fallback()
+        self.fill(value)
+
+
 class BatchAligner:
     """mode: "dna" (edit distance + approximate stats) or "protein"
     (BLOSUM62 NW + traceback stats).
@@ -204,9 +226,27 @@ class BatchAligner:
                 chunk = idxs[off : off + max_pairs]
                 self._run_bucket(pairs, chunk, M, N, results, finishers)
         t0 = _time.time()
-        for fin in finishers:
-            fin()
+        # ONE scalar device-side sync flushes the remote service's work
+        # quanta for every dispatched bucket; the per-bucket asarrays in
+        # the finishers are then ~free (their copy_to_host_async copies
+        # have landed).  Without this, each finisher's readback pays the
+        # ~0.77s sync quantum by itself.
+        devs = [f.dev for f in finishers if isinstance(f, _DevPending)]
+        if devs:
+            try:
+                import jax.numpy as jnp
+
+                float(jnp.stack([jnp.sum(d) for d in devs]).sum())
+            except Exception:  # pragma: no cover - device-specific
+                pass
         self._tick("device_wait", t0)
+        t0 = _time.time()
+        for fin in finishers:
+            if isinstance(fin, _DevPending):
+                fin.run(self)
+            else:
+                fin()
+        self._tick("collect", t0)
         if host_thread is not None:
             host_thread.join()
         self.pairs_aligned += len(pairs)
@@ -243,34 +283,8 @@ class BatchAligner:
                 self.cells_computed += int((a_len.astype(np.int64) * b_len).sum())
                 self._tick("stage_batch", t0)
                 t0 = _time.time()
-                try:
-                    raw = batched_edit_distance_pallas_myers_long(
-                        a_codes, b_codes, a_len, b_len, lazy=True
-                    )
-                except Exception as e:  # pragma: no cover - device-specific
-                    self._warn_fallback(e, "host myers")
-                    raw = None
-                self._tick("device", t0)
 
-                def finish_long(raw=raw, chunk=chunk, a_len=a_len, b_len=b_len):
-                    t0 = _time.time()
-                    dist = None
-                    if raw is not None:
-                        try:
-                            dist = raw()
-                        except Exception as e:  # pragma: no cover
-                            self._warn_fallback(e, "host myers")
-                    if dist is None:
-                        from ..native import myers_batch, load
-
-                        if load() is not None:
-                            dist = myers_batch([pairs[k] for k in chunk])
-                        else:
-                            from ..ops import oracle
-
-                            dist = [
-                                oracle.edit_distance(*pairs[k]) for k in chunk
-                            ]
+                def fill_long(dist, chunk=chunk, a_len=a_len, b_len=b_len):
                     for r, k in enumerate(chunk):
                         d = int(dist[r])
                         lendiff = abs(int(a_len[r]) - int(b_len[r]))
@@ -278,9 +292,33 @@ class BatchAligner:
                         results[k] = AlignValue(
                             distance=f32(d), similarity=f32(matches)
                         )
-                    self._tick("collect", t0)
 
-                finishers.append(finish_long)
+                def fallback_long(chunk=chunk):
+                    from ..native import myers_batch, load
+
+                    if load() is not None:
+                        return myers_batch([pairs[k] for k in chunk])
+                    from ..ops import oracle
+
+                    return [oracle.edit_distance(*pairs[k]) for k in chunk]
+
+                try:
+                    dev, post = batched_edit_distance_pallas_myers_long(
+                        a_codes, b_codes, a_len, b_len, lazy="device"
+                    )
+                except Exception as e:  # pragma: no cover - device-specific
+                    self._warn_fallback(e, "host myers")
+                    fill_long(fallback_long())
+                    self._tick("device", t0)
+                    continue
+                from ..ops.myers_batch import start_host_copy
+
+                finishers.append(
+                    _DevPending(
+                        start_host_copy(dev), post, fill_long, fallback_long
+                    )
+                )
+                self._tick("device", t0)
 
     def _run_bucket(self, pairs, idxs, M, N, results, finishers=None):
         import time
@@ -304,48 +342,10 @@ class BatchAligner:
         self._tick("stage_batch", t0)
         t0 = time.time()
 
+        from ..ops.myers_batch import start_host_copy
+
         if self.mode == "dna":
-            if self.dna_backend == "myers":
-                if self.mesh is not None:
-                    raw = self._myers_sharded(a_codes, b_codes, a_len, b_len)
-                else:
-                    raw = batched_edit_distance_myers(
-                        a_codes, b_codes, a_len, b_len, lazy=True
-                    )
-            elif self.dna_backend == "myers-pallas":
-                from ..ops.pallas_myers import batched_edit_distance_pallas_myers
-
-                try:
-                    raw = batched_edit_distance_pallas_myers(
-                        a_codes, b_codes, a_len, b_len, lazy=True
-                    )
-                except Exception as e:  # pragma: no cover - device-specific
-                    # graceful degradation: a kernel that cannot compile or
-                    # launch (e.g. VMEM pressure on an unusual shape) must
-                    # not kill the run — the XLA formulation always works
-                    self._warn_fallback(e, "XLA myers")
-                    raw = batched_edit_distance_myers(
-                        a_codes, b_codes, a_len, b_len, lazy=True
-                    )
-            else:
-                raw = np.asarray(
-                    batched_edit_distance(a_codes, b_codes, a_len, b_len)
-                )
-            self._tick("device", t0)
-
-            def finish_dna(raw=raw, idxs=idxs, a_len=a_len, b_len=b_len,
-                           a_codes=a_codes, b_codes=b_codes):
-                t0 = _time.time()
-                if callable(raw):
-                    try:
-                        dist = raw()
-                    except Exception as e:  # pragma: no cover - device-specific
-                        self._warn_fallback(e, "XLA myers")
-                        dist = batched_edit_distance_myers(
-                            a_codes, b_codes, a_len, b_len
-                        )
-                else:
-                    dist = raw
+            def fill_dna(dist, idxs=idxs, a_len=a_len, b_len=b_len):
                 lendiff = np.abs(a_len - b_len)
                 mismatches = dist - lendiff
                 matches = np.minimum(a_len, b_len) - mismatches
@@ -353,49 +353,89 @@ class BatchAligner:
                     results[k] = AlignValue(
                         distance=f32(dist[r]), similarity=f32(matches[r])
                     )
-                self._tick("collect", t0)
 
-            if finishers is None:
-                finish_dna()
-            else:
-                finishers.append(finish_dna)
-        else:
-            if self.protein_backend == "wavefront-pallas":
-                from ..ops.pallas_protein import batched_protein_align_pallas
+            def fallback_dna(a_codes=a_codes, b_codes=b_codes,
+                             a_len=a_len, b_len=b_len):
+                return batched_edit_distance_myers(a_codes, b_codes, a_len, b_len)
+
+            pending = None
+            if self.dna_backend == "myers":
+                if self.mesh is not None:
+                    fill_dna(self._myers_sharded(a_codes, b_codes, a_len, b_len))
+                else:
+                    dev, post = batched_edit_distance_myers(
+                        a_codes, b_codes, a_len, b_len, lazy="device"
+                    )
+                    pending = _DevPending(
+                        start_host_copy(dev), post, fill_dna, fallback_dna
+                    )
+            elif self.dna_backend == "myers-pallas":
+                from ..ops.pallas_myers import batched_edit_distance_pallas_myers
 
                 try:
-                    raw = batched_protein_align_pallas(
-                        a_codes, b_codes, a_len, b_len, lazy=True
+                    dev, post = batched_edit_distance_pallas_myers(
+                        a_codes, b_codes, a_len, b_len, lazy="device"
                     )
                 except Exception as e:  # pragma: no cover - device-specific
-                    # same graceful degradation as the DNA pallas path
-                    self._warn_fallback(e, "XLA wavefront")
-                    raw = batched_protein_align(
-                        a_codes, b_codes, a_len, b_len, lazy=True
+                    # graceful degradation: a kernel that cannot compile or
+                    # launch (e.g. VMEM pressure on an unusual shape) must
+                    # not kill the run — the XLA formulation always works
+                    self._warn_fallback(e, "XLA myers")
+                    dev, post = batched_edit_distance_myers(
+                        a_codes, b_codes, a_len, b_len, lazy="device"
                     )
+                pending = _DevPending(
+                    start_host_copy(dev), post, fill_dna, fallback_dna
+                )
             else:
-                raw = batched_protein_align(a_codes, b_codes, a_len, b_len, lazy=True)
+                fill_dna(
+                    np.asarray(
+                        batched_edit_distance(a_codes, b_codes, a_len, b_len)
+                    )
+                )
             self._tick("device", t0)
-
-            def finish_protein(raw=raw, idxs=idxs, a_len=a_len, b_len=b_len,
-                               a_codes=a_codes, b_codes=b_codes):
-                t0 = _time.time()
-                try:
-                    out = raw()
-                except Exception as e:  # pragma: no cover - device-specific
-                    self._warn_fallback(e, "XLA wavefront")
-                    out = batched_protein_align(a_codes, b_codes, a_len, b_len)
+            if pending is not None:
+                if finishers is None:
+                    pending.run(self)
+                else:
+                    finishers.append(pending)
+        else:
+            def fill_protein(out, idxs=idxs):
                 for r, k in enumerate(idxs):
                     results[k] = AlignValue(
                         distance=f32(out["distance"][r]),
                         similarity=f32(out["similarity"][r]),
                     )
-                self._tick("collect", t0)
 
-            if finishers is None:
-                finish_protein()
+            def fallback_protein(a_codes=a_codes, b_codes=b_codes,
+                                 a_len=a_len, b_len=b_len):
+                return batched_protein_align(a_codes, b_codes, a_len, b_len)
+
+            if self.protein_backend == "wavefront-pallas":
+                from ..ops.pallas_protein import batched_protein_align_pallas
+
+                try:
+                    dev, post = batched_protein_align_pallas(
+                        a_codes, b_codes, a_len, b_len, lazy="device"
+                    )
+                except Exception as e:  # pragma: no cover - device-specific
+                    # same graceful degradation as the DNA pallas path
+                    self._warn_fallback(e, "XLA wavefront")
+                    dev, post = batched_protein_align(
+                        a_codes, b_codes, a_len, b_len, lazy="device"
+                    )
             else:
-                finishers.append(finish_protein)
+                dev, post = batched_protein_align(
+                    a_codes, b_codes, a_len, b_len, lazy="device"
+                )
+            pending = _DevPending(
+                start_host_copy(dev), post, fill_protein, fallback_protein
+            )
+            self._tick("device", t0)
+            if finishers is None:
+                pending.run(self)
+            else:
+                finishers.append(pending)
 
     def _warn_fallback(self, e, what):  # pragma: no cover - device-specific
         if not getattr(self, "_pallas_warned", False):

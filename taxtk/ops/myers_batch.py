@@ -178,7 +178,12 @@ def batched_edit_distance_myers(a_codes, b_codes, a_len, b_len, lazy=False):
         jnp.asarray(n_len),
     )
     # empty pattern: the bit machinery has no zero-width mode
-    finish = lambda: np.where(m_len == 0, n_len, np.asarray(out))
+    post = lambda host: np.where(m_len == 0, n_len, host)
+    if lazy == "device":
+        # (device_array, post) so the caller can fuse many buckets'
+        # readbacks into ONE device->host transfer
+        return out, post
+    finish = lambda: post(np.asarray(out))
     if lazy:
         start_host_copy(out)
         return finish

@@ -360,16 +360,18 @@ def batched_edit_distance_pallas_myers_long(
             interpret,
         )
 
-    def finish():
-        out = np.asarray(res).reshape(Bp)[:B]
+    def post(host):
+        out = np.asarray(host).reshape(Bp)[:B]
         return np.where(m_len == 0, n_len, out)
 
+    if lazy == "device":
+        return res, post
     if lazy:
         from .myers_batch import start_host_copy
 
         start_host_copy(res)
-        return finish
-    return finish()
+        return lambda: post(np.asarray(res))
+    return post(np.asarray(res))
 
 
 @functools.partial(jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB"))
@@ -480,16 +482,18 @@ def batched_edit_distance_pallas_myers(
             n_tiles,
             SUB,
         )
-    def finish():
-        out = np.asarray(kernel_out).reshape(Bp)[:B]
+    def post(host):
+        out = np.asarray(host).reshape(Bp)[:B]
         return np.where(m_len == 0, n_len, out)
 
+    if lazy == "device":
+        return kernel_out, post
     if lazy:
         from .myers_batch import start_host_copy
 
         start_host_copy(kernel_out)
-        return finish
-    return finish()
+        return lambda: post(np.asarray(kernel_out))
+    return post(np.asarray(kernel_out))
 
 
 def _call_interpret(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):

@@ -250,8 +250,8 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
         n_tiles,
         interpret,
     )
-    def finish():
-        st = np.asarray(stacked)
+    def post(st):
+        st = np.asarray(st)
         mutual = st[0, :B]
         madc = st[1, :B]
         matches = madc & 0xFFFF
@@ -294,9 +294,11 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
             "similarity": similarity,
         }
 
+    if lazy == "device":
+        return stacked, post
     if lazy:
         from .myers_batch import start_host_copy
 
         start_host_copy(stacked)
-        return finish
-    return finish()
+        return lambda: post(np.asarray(stacked))
+    return post(np.asarray(stacked))

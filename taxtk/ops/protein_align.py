@@ -134,8 +134,8 @@ def batched_protein_align(a_codes, b_codes, a_len, b_len, lazy=False):
         jnp.asarray(b_len),
     )
 
-    def finish():
-        stacked = np.asarray(dev)
+    def post(st):
+        stacked = np.asarray(st)
         mutual, matches, diag = stacked[0], stacked[1], stacked[2]
 
         mismatches = diag - matches
@@ -168,9 +168,11 @@ def batched_protein_align(a_codes, b_codes, a_len, b_len, lazy=False):
             "similarity": similarity,
         }
 
+    if lazy == "device":
+        return dev, post
     if lazy:
         from .myers_batch import start_host_copy
 
         start_host_copy(dev)
-        return finish
-    return finish()
+        return lambda: post(np.asarray(dev))
+    return post(np.asarray(dev))
