@@ -54,31 +54,17 @@ def main():
         fwd_w = pp._round_up(steps, 128)
         n_tiles = max(1, -(-B // SUB))
         Bp = n_tiles * SUB
-        prof_g = np.zeros((pp._NWORDS, Bp, Mp1), np.int32)
-        prof_g[:, :B, 1 : M + 1] = pp._PACKED[:, np.minimum(a, pp._AA_N - 1)]
-        acode = np.full((Bp, Mp1), 255, np.int32)
+        acode = np.full((Bp, Mp1), 255, np.uint8)
         acode[:B, 1 : M + 1] = a
-        fwd = np.full((Bp, fwd_w), 255, np.int32)
+        fwd = np.full((Bp, fwd_w), 255, np.uint8)
         fwd[:B, :N] = b
-        tgt = np.ones((Bp, Mp1), np.int32)
-        tgt[:B] = (al + bl)[:, None]
+        ablen = np.ones(Bp, np.int32)
+        ablen[:B] = al + bl
         alen_p = np.zeros(Bp, np.int32)
         alen_p[:B] = al
 
-        dev = [jnp.asarray(v) for v in (prof_g, acode, fwd, tgt, alen_p)]
+        dev = [jnp.asarray(v) for v in (acode, fwd, ablen, alen_p)]
         jax.block_until_ready(dev)
-
-        raw = jax.jit(
-            lambda p_, a_, f_, t_: pp._raw_call(
-                p_, a_, f_, t_, SUB, Mp1, steps, fwd_w, n_tiles
-            )
-        )
-        out = jax.block_until_ready(raw(*dev[:4]))  # compile
-        t0 = time.time()
-        for _ in range(args.rounds):
-            out = jax.block_until_ready(raw(*dev[:4]))
-        dt = (time.time() - t0) / args.rounds
-        print(f"pallas RAW kernel:  {dt*1000:.1f} ms = {cells/dt/1e9:.2f} GCUPS", flush=True)
 
         run = lambda: pp._call(*dev, SUB, Mp1, steps, fwd_w, n_tiles)
         out = jax.block_until_ready(run())  # compile

@@ -197,10 +197,13 @@ class BatchAligner:
                 key = (0, _pow2ceil(max(len(a), len(b))))
                 buckets.setdefault(key, []).append(k)
         else:
+            # protein: one square bucket per pow2 of the max dimension —
+            # the wavefront kernel is cheap at these lengths and every
+            # extra bucket is another launch + H2D through the tunnel
             for k in work:
                 a, b = pairs[k]
-                key = (_pow2ceil(len(a)), _pow2ceil(len(b)))
-                buckets.setdefault(key, []).append(k)
+                L = _pow2ceil(max(len(a), len(b)))
+                buckets.setdefault((L, L), []).append(k)
 
         # dispatch every bucket before blocking on any readback: kernels are
         # queued asynchronously and D2H copies start as each finishes, so

@@ -145,7 +145,15 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
 @functools.partial(
     jax.jit, static_argnames=("SUB", "Mp1", "steps", "fwd_w", "n_tiles", "interpret")
 )
-def _call(prof, acode, fwd, tgt, alen, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
+def _call(acode8, fwd8, ablen, alen, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
+    """H2D ships only uint8 code arrays + per-pair lengths; the packed
+    int32 profile (10x the bytes) is materialized ON DEVICE by a 27-entry
+    table gather, and all int32 widening happens device-side."""
+    acode = acode8.astype(jnp.int32)
+    fwd = fwd8.astype(jnp.int32)
+    packed = jnp.asarray(_PACKED)  # [NWORDS, AA_N]
+    prof = packed[:, jnp.minimum(acode, _AA_N - 1)]  # [NWORDS, Bp, Mp1]
+    tgt = jnp.broadcast_to(ablen[:, None], acode.shape).astype(jnp.int32)
     s, madc = _raw_call(
         prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret
     )
@@ -224,24 +232,21 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     n_tiles = max(1, -(-B // SUB))
     Bp = n_tiles * SUB
 
-    # packed per-position profile: prof_g[w, pair, i+1] = _PACKED[w, a[pair, i]]
-    prof_g = np.zeros((_NWORDS, Bp, Mp1), np.int32)
-    prof_g[:, :B, 1 : M + 1] = _PACKED[:, np.minimum(a_codes, _AA_N - 1)]
-    acode = np.full((Bp, Mp1), 255, np.int32)
+    # uint8 host arrays only — profile/widening happen on device (_call)
+    acode = np.full((Bp, Mp1), 255, np.uint8)
     acode[:B, 1 : M + 1] = a_codes
     # forward text stream: the char consumed at step d is fwd[d-1] = b[d-1]
-    fwd = np.full((Bp, fwd_w), 255, np.int32)
+    fwd = np.full((Bp, fwd_w), 255, np.uint8)
     fwd[:B, :N] = b_codes
-    tgt = np.ones((Bp, Mp1), np.int32)
-    tgt[:B] = (a_len + b_len)[:, None]
+    ablen = np.ones(Bp, np.int32)
+    ablen[:B] = a_len + b_len
 
     alen_p = np.zeros(Bp, np.int32)
     alen_p[:B] = a_len
     stacked = _call(
-        jnp.asarray(prof_g),
         jnp.asarray(acode),
         jnp.asarray(fwd),
-        jnp.asarray(tgt),
+        jnp.asarray(ablen),
         jnp.asarray(alen_p),
         SUB,
         Mp1,
