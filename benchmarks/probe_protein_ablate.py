@@ -185,15 +185,19 @@ def main():
         ("window", "rolls"),
         ("window", "extract", "rolls", "edge", "harvest"),
     ]
+    import jax.numpy as jnp
+
+    R = 10
     for ab in variants:
         f = lambda: run(*dev, SUB, Mp1, steps, fwd_w, n_tiles, ab)
-        out = jax.block_until_ready(f())
+        s, m = f()
+        _ = float(jnp.sum(s) + jnp.sum(m))  # warm + flush
         t0 = time.time()
-        for _ in range(5):
-            out = jax.block_until_ready(f())
-        dt = (time.time() - t0) / 5
+        outs = [f() for _ in range(R)]
+        _ = float(jnp.stack([jnp.sum(o[0]) for o in outs]).sum())
+        dt = (time.time() - t0) / R
         name = "+".join(ab) if ab else "FULL"
-        print(f"{name:40s}: {dt*1000:7.1f} ms", flush=True)
+        print(f"{name:40s}: {dt*1000:7.1f} ms/launch", flush=True)
 
 
 if __name__ == "__main__":
