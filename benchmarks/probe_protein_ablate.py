@@ -185,8 +185,6 @@ def main():
         ("window", "rolls"),
         ("window", "extract", "rolls", "edge", "harvest"),
     ]
-    import jax.numpy as jnp
-
     R = 10
     for ab in variants:
         f = lambda: run(*dev, SUB, Mp1, steps, fwd_w, n_tiles, ab)

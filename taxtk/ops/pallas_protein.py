@@ -54,7 +54,7 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
     gap = int(GAP_SCORE)
 
     def kernel(prof_ref, acode_ref, fwd_ref, tgt_ref, s_out, madc_out,
-               i0_ref, i1_ref, i2_ref):
+               i0_ref, i1_ref):
         col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp1), 1)
         target_d = tgt_ref[:]  # [SUB, Mp1] (row-constant)
 
@@ -67,10 +67,8 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
         # constant-folded inits trip a Mosaic relayout error otherwise
         i0_ref[:] = jnp.where(col == 0, 0, _NEG)
         i1_ref[:] = jnp.zeros((SUB, Mp1), jnp.int32)
-        i2_ref[:] = jnp.int32(GAP_SCORE) * target_d
         s0 = i0_ref[:]
         zero = i1_ref[:]
-        res_s0 = i2_ref[:]
         acode = acode_ref[:]
         pw = [prof_ref[w] for w in range(_NWORDS)]
 
@@ -78,8 +76,7 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             # sh_* carry the SHIFTED previous diagonals: the value shifted at
             # step d-1 for v_val is exactly the diagonal-shift (pp_s) needed
             # at step d, halving the expensive lane-rotate count
-            (s_prev, madc_prev, sh_s, sh_madc,
-             res_s, res_madc, bx, buf) = carry
+            (s_prev, madc_prev, sh_s, sh_madc, bx, buf) = carry
             # sliding text window, all-static lane shifts (see module doc)
             k = d - 1
             base = pl.multiple_of((k // 128) * 128, 128)
@@ -124,20 +121,23 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             new_s = jnp.where(on_edge, gap * d, new_s)
             new_madc = jnp.where(on_edge, 0, new_madc)
 
-            done = d == target_d
-            res_s = jnp.where(done, new_s, res_s)
-            res_madc = jnp.where(done, new_madc, res_madc)
-            return (new_s, new_madc, s_prev_s, madc_prev_s,
-                    res_s, res_madc, bx, buf)
+            # FREEZE past each pair's target diagonal instead of carrying
+            # separate result tiles: two fewer loop carries keeps Mosaic on
+            # the register-resident fast path (with the extra res carries
+            # the step falls off a ~25x allocation cliff —
+            # benchmarks/probe_protein_ablate.py)
+            live = d <= target_d
+            new_s = jnp.where(live, new_s, s_prev)
+            new_madc = jnp.where(live, new_madc, madc_prev)
+            return (new_s, new_madc, s_prev_s, madc_prev_s, bx, buf)
 
         init = (s0, zero, zero, zero,
-                res_s0, zero,
                 zero + 255,              # bx: all-sentinel before step 1
                 zero[:, 0:128] + 255)    # refill buffer (overwritten at k=0)
         # sh_* start at zero — step-1 cells are all boundary-overridden
         out = jax.lax.fori_loop(1, steps, body, init)
-        s_out[:] = out[4]
-        madc_out[:] = out[5]
+        s_out[:] = out[0]
+        madc_out[:] = out[1]
 
     return kernel
 
@@ -184,7 +184,6 @@ def _raw_call(prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret=
             pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((SUB, Mp1), jnp.int32),
             pltpu.VMEM((SUB, Mp1), jnp.int32),
             pltpu.VMEM((SUB, Mp1), jnp.int32),
         ],
