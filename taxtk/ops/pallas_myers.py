@@ -278,9 +278,11 @@ def _call_chunked(peq, text, hmask, nlen, score, res, hbuf,
     )(peq, text, hmask, nlen, score, res, hbuf)
 
 
-# chunked-path shape constants: 128-word (4096bp) pattern blocks keep the
-# per-launch VMEM ~10MB; pattern/text caps bound the H2D of one bucket
-CHUNK_KC = 128
+# chunked-path shape constants: 64-word (2048bp) pattern blocks — the
+# measured sweet spot (benchmarks/probe_myers_blocks.py: 64 words 2x
+# faster than 128, register pressure); pattern/text caps bound the H2D
+# of one bucket
+CHUNK_KC = 64
 LONG_PATTERN_CAP = 98304   # 768 words = 6 chunked launches of 128 words
 LONG_TEXT_CAP = 262144
 
