@@ -427,6 +427,14 @@ def batched_edit_distance_pallas_myers(
     N = text.shape[0]
 
     K = _quantize_K(K)
+    if K > CHUNK_KC and not interpret:
+        # beyond 64 pattern words the monolithic unroll falls off the
+        # register fast path (52 vs 147 GCUPS measured at K=192,
+        # benchmarks/probe_single_vs_chunked.py) — stream pattern blocks
+        return batched_edit_distance_pallas_myers_long(
+            a_codes, b_codes, a_len, b_len,
+            text_chunk=text_chunk, sub_tile=sub_tile, lazy=lazy,
+        )
     if K > peq.shape[0]:
         peq = np.concatenate(
             [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
