@@ -220,8 +220,11 @@ class BatchAligner:
                 # arrays regardless of the real pair count, so filling the
                 # tile amortizes the H2D bytes over up to 32x more pairs
                 M = N
-                max_pairs = max(
-                    1024, self.max_batch_cells // max(1, (M * N) // 32)
+                # floor: one full pair tile; cap: the canonical 8-tile
+                # group, keeping the compiled-shape set at two points
+                max_pairs = min(
+                    8192,
+                    max(1024, self.max_batch_cells // max(1, (M * N) // 32)),
                 )
             else:
                 max_pairs = max(1, self.max_batch_cells // (M * N))

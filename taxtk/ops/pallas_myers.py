@@ -447,12 +447,15 @@ def batched_edit_distance_pallas_myers(
     TILE = SUB * LANE
     n_tiles = max(1, -(-B // TILE))
     if not interpret:
-        # two-point canonical shape ladder: a single tile (1024 pairs) for
-        # small buckets, the full group for anything larger.  Long-text
-        # buckets are pair-chunked to <=32 pairs by the aligner's cell
-        # budget, and padding those to the 8-tile group made the text H2D
-        # (~134 MB at 16k texts) the dominant engine cost — 8x saved here.
-        n_tiles = 1 if n_tiles == 1 else GROUP_TILES
+        # canonical shape ladder: a single tile (1024 pairs) for small
+        # buckets, the full group for anything larger (long-text buckets
+        # are pair-chunked small by the aligner's cell budget, and padding
+        # those to the 8-tile group made the text H2D the dominant engine
+        # cost), pow2 groups above 8 so oversized batches stay correct
+        if n_tiles > GROUP_TILES:
+            n_tiles = _pow2(n_tiles)
+        elif n_tiles > 1:
+            n_tiles = GROUP_TILES
     Bp = n_tiles * TILE
     Tc = min(text_chunk, _pow2(max(1, N)))
     n_chunks = max(1, -(-N // Tc))
