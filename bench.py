@@ -103,14 +103,11 @@ def main():
             return out.reshape(arr.shape[:-1] + (n_tiles * SUB, pm.LANE))
 
         peq_t = tile_pairs(peq, 0, np.uint32)
-        hmask_t = tile_pairs(hmask, 0, np.uint32)
         mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
         nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
         Np = n_chunks * Tc
-        text_p = np.full((Np, Bp), 31, np.int8)
-        text_p[: text.shape[0], :B] = text
-        text_t = text_p.reshape(Np, n_tiles * SUB, pm.LANE)
-        d_args = [jnp.asarray(x) for x in (peq_t, text_t, hmask_t, nlen_t, mlen_t)]
+        text_t = pm._pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
+        d_args = [jnp.asarray(x) for x in (peq_t, text_t, nlen_t, mlen_t)]
         run = lambda *args: pm._call(*args, K, Tc, n_chunks, n_tiles, SUB)
 
     # warm (compile) then timed rounds.  block_until_ready does not reliably

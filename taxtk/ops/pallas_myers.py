@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .myers_batch import _precompute, ALPHA, WORD
+from .myers_batch import _precompute, build_peq, ALPHA, WORD
 
 LANE = 128
 DEFAULT_SUB = 8
@@ -36,6 +36,19 @@ def _pow2(x: int) -> int:
     while n < x:
         n <<= 1
     return n
+
+
+def _pack_text(text, N, B, Np, Bp, n_tiles, SUB):
+    """[N, B] u8 codes (sentinel 31) -> [Np//2, tiles*SUB, LANE] i8 with two
+    4-bit codes per byte (low nibble = even text position).  The sentinel
+    maps to nibble 15, which the kernel's `tc >= ALPHA` check rejects the
+    same way.  Text is the largest wire array; packing halves its H2D."""
+    packed = np.full((Np // 2, Bp), 0xFF, np.uint8)
+    t = np.minimum(text, 15)
+    if N % 2:
+        t = np.concatenate([t, np.full((1, t.shape[1]), 15, np.uint8)])
+    packed[: t.shape[0] // 2, :B] = t[0::2] | (t[1::2] << 4)
+    return packed.view(np.int8).reshape(Np // 2, n_tiles * SUB, LANE)
 
 
 def _quantize_K(K: int) -> int:
@@ -57,8 +70,9 @@ def _quantize_K(K: int) -> int:
 def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
     def kernel(
         peq_ref,  # [K, ALPHA, SUB, LANE] u32
-        text_ref,  # [Tc, SUB, LANE] i32
-        hmask_ref,  # [K, SUB, LANE] u32
+        text_ref,  # [Tc//2, SUB, LANE] i8 — two 4-bit codes per byte (H2D
+        #            through the host tunnel is the engine bottleneck;
+        #            packing halves the dominant wire term)
         nlen_ref,  # [SUB, LANE] i32
         mlen_ref,  # [SUB, LANE] i32
         out_ref,  # [SUB, LANE] i32
@@ -66,6 +80,9 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
         mv_ref,  # scratch [K, SUB, LANE] u32
         score_ref,  # scratch [SUB, LANE] i32
         res_ref,  # scratch [SUB, LANE] i32
+        hmask_ref,  # scratch [K, SUB, LANE] u32 — derived from mlen at init
+        #            (single bit at the pattern's last cell), replacing a
+        #            K*4-byte/pair host input
     ):
         t = pl.program_id(1)
 
@@ -75,6 +92,12 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
             mv_ref[:] = jnp.zeros((K, SUB, LANE), jnp.uint32)
             score_ref[:] = mlen_ref[:]
             res_ref[:] = jnp.maximum(mlen_ref[:], nlen_ref[:])
+            mm = mlen_ref[:] - 1
+            kk = mm >> 5
+            one = jnp.full((SUB, LANE), 1, jnp.uint32)
+            bit = one << (mm & 31).astype(jnp.uint32)
+            for k in range(K):
+                hmask_ref[k] = jnp.where(kk == k, bit, jnp.uint32(0))
 
         n_len = nlen_ref[:]
         base_j = t * Tc
@@ -84,7 +107,8 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
         # pure register/VPU dependency chain with pipelined peq/text loads
         def stepj(jj, carry):
             pvs, mvs, score, res = carry
-            tc = text_ref[jj].astype(jnp.int32)
+            packed = text_ref[jj >> 1].astype(jnp.int32)
+            tc = (packed >> ((jj & 1) * 4)) & 15
             delta = jnp.zeros((SUB, LANE), jnp.int32)
             carry_ph = jnp.ones((SUB, LANE), jnp.uint32)
             carry_mh = jnp.zeros((SUB, LANE), jnp.uint32)
@@ -149,8 +173,10 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
 
     def kernel(
         peq_ref,    # [K, ALPHA, SUB, LANE] u32 (this block's pattern words)
-        text_ref,   # [Tc, SUB, LANE] i8
-        hmask_ref,  # [K, SUB, LANE] u32 (zero unless the pattern ends here)
+        text_ref,   # [Tc//2, SUB, LANE] i8 — two 4-bit codes per byte
+        mword_ref,  # [SUB, LANE] i32  pattern-end word index RELATIVE to this
+        #            block (outside [0,K) when the pattern ends elsewhere)
+        mbit_ref,   # [SUB, LANE] i32  pattern-end bit within that word
         nlen_ref,   # [SUB, LANE] i32
         sin_ref,    # [SUB, LANE] i32  score carried across launches
         rin_ref,    # [SUB, LANE] i32  result carried across launches
@@ -162,6 +188,7 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
         mv_ref,     # scratch [K, SUB, LANE] u32
         score_ref,  # scratch [SUB, LANE] i32
         res_ref,    # scratch [SUB, LANE] i32
+        hmask_ref,  # scratch [K, SUB, LANE] u32 — built from mword/mbit
     ):
         t = pl.program_id(1)
 
@@ -171,13 +198,19 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
             mv_ref[:] = jnp.zeros((K, SUB, LANE), jnp.uint32)
             score_ref[:] = sin_ref[:]
             res_ref[:] = rin_ref[:]
+            kk = mword_ref[:]
+            one = jnp.full((SUB, LANE), 1, jnp.uint32)
+            bit = one << mbit_ref[:].astype(jnp.uint32)
+            for k in range(K):
+                hmask_ref[k] = jnp.where(kk == k, bit, jnp.uint32(0))
 
         n_len = nlen_ref[:]
         base_j = t * Tc
 
         def stepj(jj, carry):
             pvs, mvs, score, res = carry
-            tc = text_ref[jj].astype(jnp.int32)
+            packed = text_ref[jj >> 1].astype(jnp.int32)
+            tc = (packed >> ((jj & 1) * 4)) & 15
             hpack = hin_ref[jj].astype(jnp.int32)
             carry_ph = (hpack & 1).astype(jnp.uint32)
             carry_mh = ((hpack >> 1) & 1).astype(jnp.uint32)
@@ -240,11 +273,12 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
 @functools.partial(
     jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret")
 )
-def _call_chunked(peq, text, hmask, nlen, score, res, hbuf,
+def _call_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
                   K, Tc, n_chunks, n_tiles, SUB, interpret=False):
     kernel = _make_kernel_chunked(K, Tc, n_chunks, SUB)
     B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
     H = jax.ShapeDtypeStruct(hbuf.shape, jnp.int8)
+    bspec = pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(B2, B2, H),
@@ -254,16 +288,19 @@ def _call_chunked(peq, text, hmask, nlen, score, res, hbuf,
             pl.BlockSpec(
                 (K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, SUB, LANE), lambda p, t: (0, p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (Tc // 2, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM
+            ),
+            bspec,
+            bspec,
+            bspec,
+            bspec,
+            bspec,
             pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
+            bspec,
+            bspec,
             pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -271,11 +308,12 @@ def _call_chunked(peq, text, hmask, nlen, score, res, hbuf,
             pltpu.VMEM((K, SUB, LANE), jnp.uint32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(peq, text, hmask, nlen, score, res, hbuf)
+    )(peq, text, mword, mbit, nlen, score, res, hbuf)
 
 
 # chunked-path shape constants: 64-word (2048bp) pattern blocks — the
@@ -310,9 +348,6 @@ def batched_edit_distance_pallas_myers_long(
         peq = np.concatenate(
             [peq, np.zeros((Kp - peq.shape[0],) + peq.shape[1:], np.uint32)]
         )
-        hmask = np.concatenate(
-            [hmask, np.zeros((Kp - hmask.shape[0],) + hmask.shape[1:], np.uint32)]
-        )
 
     SUB = sub_tile
     TILE = SUB * LANE
@@ -320,7 +355,8 @@ def batched_edit_distance_pallas_myers_long(
     if not interpret:
         n_tiles = 1 if n_tiles == 1 else GROUP_TILES
     Bp = n_tiles * TILE
-    Tc = min(text_chunk, _pow2(max(1, N)))
+    Tc = max(2, min(text_chunk, _pow2(max(1, N))))
+    Tc += Tc & 1  # packed text stores two positions per byte
     n_chunks = max(1, -(-N // Tc))
     if not interpret:
         n_chunks = _pow2(n_chunks)
@@ -332,13 +368,15 @@ def batched_edit_distance_pallas_myers_long(
         return out.reshape(arr.shape[:-1] + (n_tiles * SUB, LANE))
 
     peq_t = tile_pairs(peq, 0, np.uint32)    # [Kp, A, tiles*SUB, LANE]
-    hmask_t = tile_pairs(hmask, 0, np.uint32)
     mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
     nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
-    text_p = np.full((Np, Bp), 31, np.int8)
-    text_p[:N, :B] = text
-    text_t = jnp.asarray(text_p.reshape(Np, n_tiles * SUB, LANE))
+    # pattern-end word/bit (the kernel derives the high-bit mask on device;
+    # shipping the full [K, B] u32 hmask was K*4 bytes/pair of H2D)
+    mword_t = (mlen_t - 1) >> 5
+    mbit_t = (mlen_t - 1) & 31
+    text_t = jnp.asarray(_pack_text(text, N, B, Np, Bp, n_tiles, SUB))
     nlen_d = jnp.asarray(nlen_t)
+    mbit_d = jnp.asarray(mbit_t)
 
     score = jnp.asarray(mlen_t)
     res = jnp.asarray(np.maximum(mlen_t, nlen_t))
@@ -349,7 +387,8 @@ def batched_edit_distance_pallas_myers_long(
         score, res, hbuf = _call_chunked(
             jnp.asarray(peq_t[p * Kb : (p + 1) * Kb]),
             text_t,
-            jnp.asarray(hmask_t[p * Kb : (p + 1) * Kb]),
+            jnp.asarray(mword_t - p * Kb),
+            mbit_d,
             nlen_d,
             score,
             res,
@@ -376,19 +415,68 @@ def batched_edit_distance_pallas_myers_long(
     return post(np.asarray(res))
 
 
-@functools.partial(jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB"))
-def _call(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
+def _dedupe_pool(a_codes, b_codes, a_len, b_len):
+    """Row-dedupe both pair sides into one sequence pool.
+
+    Returns (rows, lens, idx_a, idx_b): `rows` is a list of 1-D uint8 code
+    arrays (trimmed to each sequence's own length), `idx_a[i]`/`idx_b[i]`
+    index the pool entry backing pair i's a/b side.  RPA re-aligns the same
+    query/anchor/candidate segments across many pairs (pass 0 shares the
+    query, pass 1/2 share anchors), so the pool is materially smaller than
+    2B rows — and, more importantly, the device wire arrays become
+    pool-sized instead of padded-pair-group-sized."""
+    B = a_codes.shape[0]
+    seen: dict = {}
+    rows = []
+    lens = []
+    idx = np.empty(2 * B, np.int32)
+    for j, (codes, ls) in enumerate(((a_codes, a_len), (b_codes, b_len))):
+        for i in range(B):
+            L = int(ls[i])
+            key = codes[i, :L].tobytes()
+            u = seen.get(key)
+            if u is None:
+                u = len(rows)
+                seen[key] = u
+                rows.append(codes[i, :L])
+                lens.append(L)
+            idx[j * B + i] = u
+    return rows, np.asarray(lens, np.int32), idx[:B], idx[B:]
+
+
+def _pack_text_pool(rows, lens, txt_used, Np, Up):
+    """Pool rows -> [Np//2, Up] packed nibbles (sentinel 15 beyond each
+    row's own length).  Only entries used as a text (txt_used mask) are
+    materialized; pattern-only entries stay all-sentinel."""
+    U = len(rows)
+    packed = np.full((Np // 2, Up), 0xFF, np.uint8)
+    col = np.full(Np, 15, np.uint8)
+    for u in range(U):
+        if not txt_used[u]:
+            continue
+        L = lens[u]
+        col[:L] = np.minimum(rows[u], 15)
+        half = (L + 1) // 2
+        packed[:half, u] = col[0 : 2 * half : 2] | (col[1 : 2 * half : 2] << 4)
+        col[:L] = 15
+    return packed.view(np.int8)
+
+
+def _pallas_single(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB,
+                   interpret=False):
     kernel = _make_kernel(K, Tc, n_chunks, SUB)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32),
         grid=(n_tiles, n_chunks),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec(
                 (K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, SUB, LANE), lambda p, t: (0, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (Tc // 2, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
         ],
@@ -398,11 +486,36 @@ def _call(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
             pltpu.VMEM((K, SUB, LANE), jnp.uint32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(peq, text, hmask, nlen, mlen)
+    )(peq, text, nlen, mlen)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB"))
+def _call(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
+    return _pallas_single(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret"),
+)
+def _call_gather(peq_u, text_u, pat_idx, txt_idx, nlen, mlen,
+                 K, Tc, n_chunks, n_tiles, SUB, interpret=False):
+    """Pool-gather front end: wire arrays are pool-sized ([*, Up]); the
+    per-pair tiled layouts the kernel wants are materialized on DEVICE by
+    two gathers.  H2D through the host tunnel is the engine's bottleneck —
+    this makes the wire cost scale with unique sequences instead of the
+    padded pair-group width."""
+    S = n_tiles * SUB
+    peq = jnp.take(peq_u, pat_idx, axis=2).reshape(K, ALPHA, S, LANE)
+    text = jnp.take(text_u, txt_idx, axis=1).reshape(-1, S, LANE)
+    return _pallas_single(
+        peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB, interpret
+    )
 
 
 def batched_edit_distance_pallas_myers(
@@ -414,19 +527,25 @@ def batched_edit_distance_pallas_myers(
     interpret: bool = False,
     sub_tile: int = DEFAULT_SUB,
     lazy: bool = False,
+    pool_gather: bool | None = None,
 ):
     """Drop-in for dna_align.batched_edit_distance (TPU bit-parallel path).
 
-    lazy=True returns a zero-arg finish closure (see myers_batch)."""
+    lazy=True returns a zero-arg finish closure (see myers_batch).
+    pool_gather: None = auto (on for compiled runs when the dedupe pool is
+    narrower than the padded pair group), True = force (tests), False = off.
+    """
     a_codes = np.asarray(a_codes)
     b_codes = np.asarray(b_codes)
     a_len = np.asarray(a_len, np.int32)
     b_len = np.asarray(b_len, np.int32)
     B = a_codes.shape[0]
-    peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
-    N = text.shape[0]
+    swap = a_len > b_len
+    m_len = np.where(swap, b_len, a_len).astype(np.int32)
+    n_len = np.where(swap, a_len, b_len).astype(np.int32)
+    N = int(n_len.max(initial=1))
 
-    K = _quantize_K(K)
+    K = _quantize_K(max(1, -(-int(m_len.max(initial=1)) // WORD)))
     if K > CHUNK_KC and not interpret:
         # beyond 64 pattern words the monolithic unroll falls off the
         # register fast path (52 vs 147 GCUPS measured at K=192,
@@ -434,13 +553,6 @@ def batched_edit_distance_pallas_myers(
         return batched_edit_distance_pallas_myers_long(
             a_codes, b_codes, a_len, b_len,
             text_chunk=text_chunk, sub_tile=sub_tile, lazy=lazy,
-        )
-    if K > peq.shape[0]:
-        peq = np.concatenate(
-            [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
-        )
-        hmask = np.concatenate(
-            [hmask, np.zeros((K - hmask.shape[0],) + hmask.shape[1:], np.uint32)]
         )
 
     SUB = sub_tile
@@ -457,7 +569,8 @@ def batched_edit_distance_pallas_myers(
         elif n_tiles > 1:
             n_tiles = GROUP_TILES
     Bp = n_tiles * TILE
-    Tc = min(text_chunk, _pow2(max(1, N)))
+    Tc = max(2, min(text_chunk, _pow2(max(1, N))))
+    Tc += Tc & 1  # packed text stores two positions per byte
     n_chunks = max(1, -(-N // Tc))
     if not interpret:
         n_chunks = _pow2(n_chunks)
@@ -470,23 +583,48 @@ def batched_edit_distance_pallas_myers(
         out[..., :B] = arr
         return out.reshape(arr.shape[:-1] + (n_tiles * SUB, LANE))
 
-    peq_t = tile_pairs(peq, 0, np.uint32)  # [K, A, n_tiles*SUB, LANE]
-    hmask_t = tile_pairs(hmask, 0, np.uint32)
     mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
     nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
-    text_p = np.full((Np, Bp), 31, np.int8)
-    text_p[:N, :B] = text
-    text_t = text_p.reshape(Np, n_tiles * SUB, LANE)
 
-    if interpret:
-        kernel_out = _call_interpret(
-            peq_t, text_t, hmask_t, nlen_t, mlen_t, K, Tc, n_chunks, n_tiles, SUB
-        )
-    else:
-        kernel_out = _call(
-            jnp.asarray(peq_t),
-            jnp.asarray(text_t),
-            jnp.asarray(hmask_t),
+    # pool-gather path: dedupe sequences, ship pool-sized wire arrays, and
+    # gather the per-pair layouts on device.  Worth it whenever the pool is
+    # strictly narrower than the padded pair group (always true when real
+    # pairs underfill the canonical tile group).
+    pool = None
+    if pool_gather is None:
+        pool_gather = not interpret
+    if pool_gather:
+        rows, plen, idx_a, idx_b = _dedupe_pool(a_codes, b_codes, a_len, b_len)
+        U = len(rows)
+        Up = max(8 if interpret else 128, _pow2(U))
+        if Up < Bp or interpret:
+            pool = (rows, plen, idx_a, idx_b, U, Up)
+
+    if pool is not None:
+        rows, plen, idx_a, idx_b, U, Up = pool
+        pat_idx = np.zeros(Bp, np.int32)
+        txt_idx = np.zeros(Bp, np.int32)
+        pat_idx[:B] = np.where(swap, idx_b, idx_a)
+        txt_idx[:B] = np.where(swap, idx_a, idx_b)
+        pat_used = np.zeros(U, bool)
+        txt_used = np.zeros(U, bool)
+        pat_used[pat_idx[:B]] = True
+        txt_used[txt_idx[:B]] = True
+        Wp = min(K * WORD, int(plen[pat_used].max(initial=1)))
+        pats = np.full((Up, Wp), 255, np.uint8)
+        plen_pat = np.zeros(Up, np.int32)
+        for u in range(U):
+            if pat_used[u]:
+                L = min(int(plen[u]), Wp)
+                pats[u, :L] = rows[u][:L]
+                plen_pat[u] = L
+        peq_u = build_peq(pats, plen_pat, K)  # [K, ALPHA, Up]
+        text_u = _pack_text_pool(rows, plen, txt_used, Np, Up)
+        kernel_out = _call_gather(
+            jnp.asarray(peq_u),
+            jnp.asarray(text_u),
+            jnp.asarray(pat_idx),
+            jnp.asarray(txt_idx),
             jnp.asarray(nlen_t),
             jnp.asarray(mlen_t),
             K,
@@ -494,7 +632,35 @@ def batched_edit_distance_pallas_myers(
             n_chunks,
             n_tiles,
             SUB,
+            interpret,
         )
+    else:
+        peq, text, _hmask, m_len, n_len, K0 = _precompute(
+            a_codes, b_codes, a_len, b_len
+        )
+        if K > peq.shape[0]:
+            peq = np.concatenate(
+                [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
+            )
+        peq_t = tile_pairs(peq, 0, np.uint32)  # [K, A, n_tiles*SUB, LANE]
+        text_t = _pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
+
+        if interpret:
+            kernel_out = _call_interpret(
+                peq_t, text_t, nlen_t, mlen_t, K, Tc, n_chunks, n_tiles, SUB
+            )
+        else:
+            kernel_out = _call(
+                jnp.asarray(peq_t),
+                jnp.asarray(text_t),
+                jnp.asarray(nlen_t),
+                jnp.asarray(mlen_t),
+                K,
+                Tc,
+                n_chunks,
+                n_tiles,
+                SUB,
+            )
     def post(host):
         out = np.asarray(host).reshape(Bp)[:B]
         return np.where(m_len == 0, n_len, out)
@@ -509,7 +675,7 @@ def batched_edit_distance_pallas_myers(
     return post(np.asarray(kernel_out))
 
 
-def _call_interpret(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
+def _call_interpret(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
     kernel = _make_kernel(K, Tc, n_chunks, SUB)
     return pl.pallas_call(
         kernel,
@@ -517,8 +683,7 @@ def _call_interpret(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB)
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0)),
-            pl.BlockSpec((Tc, SUB, LANE), lambda p, t: (t, p, 0)),
-            pl.BlockSpec((K, SUB, LANE), lambda p, t: (0, p, 0)),
+            pl.BlockSpec((Tc // 2, SUB, LANE), lambda p, t: (t, p, 0)),
             pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0)),
             pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0)),
         ],
@@ -528,12 +693,12 @@ def _call_interpret(peq, text, hmask, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB)
             pltpu.VMEM((K, SUB, LANE), jnp.uint32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((K, SUB, LANE), jnp.uint32),
         ],
         interpret=True,
     )(
         jnp.asarray(peq),
         jnp.asarray(text),
-        jnp.asarray(hmask),
         jnp.asarray(nlen),
         jnp.asarray(mlen),
     )

@@ -141,3 +141,33 @@ def test_pallas_myers_long_matches_single_launch_interpret():
         ac, bc, al, bl, block_words=1, text_chunk=128, interpret=True
     )
     assert np.array_equal(single, chunked)
+
+
+def test_pallas_myers_pool_gather_interpret():
+    """Pool-gather wire format (dedupe + on-device gather) must be exact,
+    including shared sequences across pairs and both-side dedupe."""
+    rng = np.random.RandomState(3)
+    B = 37
+    al = rng.randint(1, 300, B).astype(np.int32)
+    bl = rng.randint(1, 300, B).astype(np.int32)
+    shared = rng.randint(0, 5, (4, 300)).astype(np.uint8)
+    ac = np.zeros((B, 300), np.uint8)
+    bc = np.zeros((B, 300), np.uint8)
+    for i in range(B):
+        if i % 3 == 0:
+            ac[i] = shared[i % 4]
+            al[i] = 250
+        else:
+            ac[i, : al[i]] = rng.randint(0, 5, al[i])
+        if i % 2 == 0:
+            bc[i] = shared[(i + 1) % 4]
+            bl[i] = 287
+        else:
+            bc[i, : bl[i]] = rng.randint(0, 5, bl[i])
+    want = np.asarray(batched_edit_distance_myers(ac, bc, al, bl))
+    got = np.asarray(
+        batched_edit_distance_pallas_myers(
+            ac, bc, al, bl, interpret=True, pool_gather=True, text_chunk=64
+        )
+    )
+    np.testing.assert_array_equal(want, got)
