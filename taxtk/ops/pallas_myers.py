@@ -275,6 +275,29 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
 )
 def _call_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
                   K, Tc, n_chunks, n_tiles, SUB, interpret=False):
+    return _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
+                           K, Tc, n_chunks, n_tiles, SUB, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret")
+)
+def _call_chunked_gather(peq_u, text_u, pat_idx, txt_idx, mword, mbit, nlen,
+                         score, res, hbuf,
+                         K, Tc, n_chunks, n_tiles, SUB, interpret=False):
+    """Pool-gather front end for the pattern-block-chunked kernel: long-text
+    buckets are often pair-sparse (the cell budget caps real pairs far below
+    the tile width), so shipping [text, Bp]-wide arrays is mostly padding.
+    Wire arrays are pool-sized; per-pair layouts materialize on device."""
+    S = n_tiles * SUB
+    peq = jnp.take(peq_u, pat_idx, axis=2).reshape(K, ALPHA, S, LANE)
+    text = jnp.take(text_u, txt_idx, axis=1).reshape(-1, S, LANE)
+    return _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
+                           K, Tc, n_chunks, n_tiles, SUB, interpret)
+
+
+def _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
+                    K, Tc, n_chunks, n_tiles, SUB, interpret=False):
     kernel = _make_kernel_chunked(K, Tc, n_chunks, SUB)
     B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
     H = jax.ShapeDtypeStruct(hbuf.shape, jnp.int8)
@@ -329,6 +352,7 @@ def batched_edit_distance_pallas_myers_long(
     a_codes, b_codes, a_len, b_len,
     text_chunk: int = 512, interpret: bool = False, sub_tile: int = DEFAULT_SUB,
     block_words: int = CHUNK_KC, lazy: bool = False,
+    pool_gather: bool | None = None,
 ):
     """Pattern-block-chunked TPU path for pairs whose pattern exceeds the
     single-launch VMEM budget (aligner routes min-side > 6144bp here).
@@ -338,16 +362,15 @@ def batched_edit_distance_pallas_myers_long(
     a_len = np.asarray(a_len, np.int32)
     b_len = np.asarray(b_len, np.int32)
     B = a_codes.shape[0]
-    peq, text, hmask, m_len, n_len, K = _precompute(a_codes, b_codes, a_len, b_len)
-    N = text.shape[0]
+    swap = a_len > b_len
+    m_len = np.where(swap, b_len, a_len).astype(np.int32)
+    n_len = np.where(swap, a_len, b_len).astype(np.int32)
+    N = int(n_len.max(initial=1))
+    K = max(1, -(-int(m_len.max(initial=1)) // WORD))
 
     Kb = block_words
     n_blocks = max(1, -(-K // Kb))
     Kp = n_blocks * Kb
-    if Kp > peq.shape[0]:
-        peq = np.concatenate(
-            [peq, np.zeros((Kp - peq.shape[0],) + peq.shape[1:], np.uint32)]
-        )
 
     SUB = sub_tile
     TILE = SUB * LANE
@@ -367,14 +390,12 @@ def batched_edit_distance_pallas_myers_long(
         out[..., :B] = arr
         return out.reshape(arr.shape[:-1] + (n_tiles * SUB, LANE))
 
-    peq_t = tile_pairs(peq, 0, np.uint32)    # [Kp, A, tiles*SUB, LANE]
     mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
     nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
     # pattern-end word/bit (the kernel derives the high-bit mask on device;
     # shipping the full [K, B] u32 hmask was K*4 bytes/pair of H2D)
     mword_t = (mlen_t - 1) >> 5
     mbit_t = (mlen_t - 1) & 31
-    text_t = jnp.asarray(_pack_text(text, N, B, Np, Bp, n_tiles, SUB))
     nlen_d = jnp.asarray(nlen_t)
     mbit_d = jnp.asarray(mbit_t)
 
@@ -383,23 +404,89 @@ def batched_edit_distance_pallas_myers_long(
     # block-boundary carries: ph=1, mh=0 above the first pattern word
     hbuf = jnp.ones((Np, n_tiles * SUB, LANE), jnp.int8)
 
-    for p in range(n_blocks):
-        score, res, hbuf = _call_chunked(
-            jnp.asarray(peq_t[p * Kb : (p + 1) * Kb]),
-            text_t,
-            jnp.asarray(mword_t - p * Kb),
-            mbit_d,
-            nlen_d,
-            score,
-            res,
-            hbuf,
-            Kb,
-            Tc,
-            n_chunks,
-            n_tiles,
-            SUB,
-            interpret,
+    # pool-gather: long-text buckets are usually pair-sparse (the aligner's
+    # cell budget caps real pairs), so pool-sized wire arrays cut the
+    # dominant text H2D by the tile fill factor on top of sequence reuse
+    pool = None
+    if pool_gather is None:
+        pool_gather = not interpret
+    if pool_gather:
+        rows, plen, idx_a, idx_b = _dedupe_pool(a_codes, b_codes, a_len, b_len)
+        U = len(rows)
+        Up = max(8 if interpret else 128, _pow2(U))
+        if Up < Bp or interpret:
+            pool = (rows, plen, idx_a, idx_b, U, Up)
+
+    if pool is not None:
+        rows, plen, idx_a, idx_b, U, Up = pool
+        pat_idx = np.zeros(Bp, np.int32)
+        txt_idx = np.zeros(Bp, np.int32)
+        pat_idx[:B] = np.where(swap, idx_b, idx_a)
+        txt_idx[:B] = np.where(swap, idx_a, idx_b)
+        pat_used = np.zeros(U, bool)
+        txt_used = np.zeros(U, bool)
+        pat_used[pat_idx[:B]] = True
+        txt_used[txt_idx[:B]] = True
+        Wp = min(Kp * WORD, int(plen[pat_used].max(initial=1)))
+        pats = np.full((Up, Wp), 255, np.uint8)
+        plen_pat = np.zeros(Up, np.int32)
+        for u in range(U):
+            if pat_used[u]:
+                L = min(int(plen[u]), Wp)
+                pats[u, :L] = rows[u][:L]
+                plen_pat[u] = L
+        peq_u = build_peq(pats, plen_pat, Kp)  # [Kp, ALPHA, Up]
+        text_u = jnp.asarray(_pack_text_pool(rows, plen, txt_used, Np, Up))
+        pat_idx_d = jnp.asarray(pat_idx)
+        txt_idx_d = jnp.asarray(txt_idx)
+        for p in range(n_blocks):
+            score, res, hbuf = _call_chunked_gather(
+                jnp.asarray(peq_u[p * Kb : (p + 1) * Kb]),
+                text_u,
+                pat_idx_d,
+                txt_idx_d,
+                jnp.asarray(mword_t - p * Kb),
+                mbit_d,
+                nlen_d,
+                score,
+                res,
+                hbuf,
+                Kb,
+                Tc,
+                n_chunks,
+                n_tiles,
+                SUB,
+                interpret,
+            )
+    else:
+        peq, text, _hmask, m_len, n_len, _K = _precompute(
+            a_codes, b_codes, a_len, b_len
         )
+        if Kp > peq.shape[0]:
+            peq = np.concatenate(
+                [peq, np.zeros((Kp - peq.shape[0],) + peq.shape[1:], np.uint32)]
+            )
+        peq_t = tile_pairs(peq, 0, np.uint32)    # [Kp, A, tiles*SUB, LANE]
+        text_t = jnp.asarray(
+            _pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
+        )
+        for p in range(n_blocks):
+            score, res, hbuf = _call_chunked(
+                jnp.asarray(peq_t[p * Kb : (p + 1) * Kb]),
+                text_t,
+                jnp.asarray(mword_t - p * Kb),
+                mbit_d,
+                nlen_d,
+                score,
+                res,
+                hbuf,
+                Kb,
+                Tc,
+                n_chunks,
+                n_tiles,
+                SUB,
+                interpret,
+            )
 
     def post(host):
         out = np.asarray(host).reshape(Bp)[:B]

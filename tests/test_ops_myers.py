@@ -171,3 +171,34 @@ def test_pallas_myers_pool_gather_interpret():
         )
     )
     np.testing.assert_array_equal(want, got)
+
+
+def test_pallas_myers_long_pool_gather_interpret():
+    """Chunked (long-pattern) path with pool-gather wire format: shared
+    texts across pairs, multi-block patterns, block-relative hmask."""
+    from taxtk.ops.pallas_myers import batched_edit_distance_pallas_myers_long
+
+    rng = np.random.RandomState(11)
+    B = 9
+    shared_text = rng.randint(0, 5, 260).astype(np.uint8)
+    ac = np.zeros((B, 150), np.uint8)
+    bc = np.zeros((B, 260), np.uint8)
+    al = np.zeros(B, np.int32)
+    bl = np.zeros(B, np.int32)
+    for i in range(B):
+        al[i] = rng.randint(40, 151)
+        ac[i, : al[i]] = rng.randint(0, 5, al[i])
+        if i % 2 == 0:
+            bc[i] = shared_text
+            bl[i] = 260
+        else:
+            bl[i] = rng.randint(100, 261)
+            bc[i, : bl[i]] = rng.randint(0, 5, bl[i])
+    want = np.asarray(batched_edit_distance_myers(ac, bc, al, bl))
+    got = np.asarray(
+        batched_edit_distance_pallas_myers_long(
+            ac, bc, al, bl, block_words=2, text_chunk=64,
+            interpret=True, pool_gather=True,
+        )
+    )
+    np.testing.assert_array_equal(want, got)
