@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="protein kernel backend (default: wavefront)")
     p.add_argument("--stats", action="store_true",
                    help="print run metrics to stderr when done")
+    p.add_argument("--mesh", metavar="DPxTP",
+                   help="shard the engine over a DPxTP device mesh: pair "
+                        "batches split over dp, candidates over tp (refpack "
+                        "shards) with collective pass-0 merge")
     return p
 
 
@@ -132,10 +136,13 @@ def main(argv=None) -> int:
             try:
                 from ..engine.aligner import BatchAligner
 
+                mesh = _make_mesh(args.mesh) if args.mesh else None
                 aligner = BatchAligner(
                     "protein" if protein else "dna",
-                    dna_backend=args.dna_backend,
+                    dna_backend=args.dna_backend
+                    or ("myers" if mesh is not None else None),
                     protein_backend=args.protein_backend,
+                    mesh=mesh,
                 )
                 engine = RpaEngine(
                     tax,
@@ -147,6 +154,7 @@ def main(argv=None) -> int:
                     macro_batch=args.macro_batch,
                     logsink=logsink,
                     aligner=aligner,
+                    mesh=mesh,
                 )
                 from ..engine.metrics import profile
 
@@ -174,6 +182,18 @@ def main(argv=None) -> int:
     except TaxtkError as e:
         print(f"An unrecoverable error occurred: {e}", file=sys.stderr)
         return 1
+
+
+def _make_mesh(spec: str):
+    """'DPxTP' -> jax.sharding.Mesh over the first DP*TP devices."""
+    from ..parallel.mesh import make_mesh
+
+    try:
+        dp_s, tp_s = spec.lower().split("x")
+        dp, tp = int(dp_s), int(tp_s)
+    except ValueError:
+        raise TaxtkError(f"bad --mesh spec {spec!r}; expected DPxTP, e.g. 4x2")
+    return make_mesh(dp * tp, tp=tp)
 
 
 def _make_lca_model(args, tax):

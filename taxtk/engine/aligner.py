@@ -11,7 +11,7 @@ padding, never values.
 from __future__ import annotations
 
 import time as _time
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -110,6 +110,10 @@ class BatchAligner:
         self.pairs_aligned = 0
         self.cells_computed = 0
         self.stage_seconds = {}  # per-phase accounting (kernel vs staging)
+        # dp×tp engine backend (parallel/engine_mesh.py), set by RpaEngine
+        # when a mesh with a tp axis is in play: alignment batches then run
+        # tp-sharded (pairs on their refpack shard's column)
+        self.mesh_backend = None
 
     def _tick(self, name, t0):
         import time
@@ -138,10 +142,17 @@ class BatchAligner:
             results[k] = AlignValue(distance=f32(dist), similarity=f32(matches))
 
     def align_pairs(
-        self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]]
+        self,
+        pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+        shard_ids: Optional[Sequence[int]] = None,
     ) -> List[AlignValue]:
         """pairs: list of (a_codes, b_codes) uint8 arrays (A = first argument
-        of the reference getAlignment call — order matters for protein)."""
+        of the reference getAlignment call — order matters for protein).
+
+        shard_ids: optional tp-shard assignment per pair (the refpack shard
+        owning the pair's reference segment); with a mesh backend attached,
+        DNA pairs then run as ONE tp×dp-sharded SPMD launch instead of the
+        single-device bucket ladder."""
         results: List[AlignValue] = [None] * len(pairs)  # type: ignore
 
         # degenerate pairs resolved on host; very long DNA patterns (peq
@@ -186,6 +197,40 @@ class BatchAligner:
 
             host_thread = threading.Thread(target=_host_work)
             host_thread.start()
+
+        if (
+            work
+            and shard_ids is not None
+            and self.mode == "dna"
+            and self.mesh_backend is not None
+            and self.mesh_backend.tp > 1
+        ):
+            # tp-sharded SPMD round: pairs live on their refpack shard's tp
+            # column, dp splits within a column (parallel/engine_mesh.py)
+            t0 = _time.time()
+            groups: List[List[int]] = [[] for _ in range(self.mesh_backend.tp)]
+            for k in work:
+                groups[shard_ids[k]].append(k)
+            group_pairs = [[pairs[k] for k in g] for g in groups]
+            for k in work:
+                a, b = pairs[k]
+                self.cells_computed += len(a) * len(b)
+            try:
+                dists = self.mesh_backend.edit_distances_sharded(group_pairs)
+            except Exception as e:  # pragma: no cover - device-specific
+                self._warn_fallback(e, "single-device buckets")
+            else:
+                for g, dvec in zip(groups, dists):
+                    for k, d in zip(g, dvec):
+                        a, b = pairs[k]
+                        dist = int(d)
+                        lendiff = abs(len(a) - len(b))
+                        matches = min(len(a), len(b)) - (dist - lendiff)
+                        results[k] = AlignValue(
+                            distance=f32(dist), similarity=f32(matches)
+                        )
+                work = []
+            self._tick("device", t0)
 
         buckets: Dict[Tuple[int, int], List[int]] = {}
         if self.mode == "dna" and self.dna_backend in ("myers", "myers-pallas"):

@@ -109,6 +109,7 @@ class RpaEngine:
         macro_batch: Optional[int] = None,
         aligner: Optional[BatchAligner] = None,
         logsink=None,
+        mesh=None,
     ):
         if macro_batch is None:
             # device rounds have fixed dispatch/readback latency: batch much
@@ -126,8 +127,18 @@ class RpaEngine:
         self.exclude_factor = exclude_factor
         self.toppercent = toppercent
         self.macro_batch = macro_batch
-        self.aligner = aligner or BatchAligner("protein" if protein else "dna")
+        self.aligner = aligner or BatchAligner(
+            "protein" if protein else "dna", mesh=mesh
+        )
         self.logsink = logsink
+        # dp×tp mesh: candidate pairs shard over the tp (refpack) axis and
+        # pass-0 reductions merge via collectives (parallel/engine_mesh.py)
+        self.mesh_backend = None
+        if mesh is not None:
+            from ..parallel.engine_mesh import MeshEngineBackend
+
+            self.mesh_backend = MeshEngineBackend(mesh, tax.path)
+            self.aligner.mesh_backend = self.mesh_backend
         from .metrics import EngineMetrics
 
         self.metrics = EngineMetrics()
@@ -199,10 +210,16 @@ class RpaEngine:
             reqs = [t.prepare() for t in tasks]
         with m.stage("align"):
             self._align_round(tasks, caches, pair_caches, reqs)
+        merged_by_task: Dict[int, dict] = {}
+        if self.mesh_backend is not None:
+            with m.stage("merge"):
+                merged_by_task = self._pass0_collective_merge(tasks, pair_caches)
         with m.stage("replay"):
             reqs = [
-                t.replay_pass0(pc) if t.result is None else []
-                for t, pc in zip(tasks, pair_caches)
+                t.replay_pass0(pc, merged=merged_by_task.get(ti))
+                if t.result is None
+                else []
+                for ti, (t, pc) in enumerate(zip(tasks, pair_caches))
             ]
         with m.stage("align"):
             self._align_round(tasks, caches, pair_caches, reqs)
@@ -233,9 +250,46 @@ class RpaEngine:
         with self.metrics.stage("fetch"):
             self._prefetch_segments(caches, flat)
             pairs = [caches[ti].pair_sequences(key) for ti, key in flat]
-        values = self.aligner.align_pairs(pairs)
+        shard_ids = None
+        if self.mesh_backend is not None and self.mesh_backend.tp > 1:
+            # route each pair to the tp column owning its reference sequence
+            # (same stable hash that shards the refpack on disk)
+            from ..parallel.refpack import refpack_shard_of
+
+            tp = self.mesh_backend.tp
+            shard_ids = [
+                refpack_shard_of(
+                    tasks[ti].records[key[1]].reference_identifier, tp
+                )
+                for ti, key in flat
+            ]
+        values = self.aligner.align_pairs(pairs, shard_ids=shard_ids)
         for (ti, key), val in zip(flat, values):
             pair_caches[ti][key] = val
+
+    def _pass0_collective_merge(self, tasks, pair_caches) -> Dict[int, dict]:
+        """Assemble the per-record candidate tables (sharded over tp by the
+        refpack hash) and run the collective pass-0 merge; returns per-task
+        merged reductions keyed by task index (see MeshEngineBackend)."""
+        from ..parallel.refpack import refpack_shard_of
+
+        live = [(ti, t) for ti, t in enumerate(tasks) if t.result is None]
+        if not live:
+            return {}
+        tp = self.mesh_backend.tp
+        per_shard: List[List[tuple]] = [[] for _ in range(tp)]
+        for seg, (ti, t) in enumerate(live):
+            dists, sims = t.pass0_table(pair_caches[ti])
+            for i, rec in enumerate(t.records):
+                per_shard[refpack_shard_of(rec.reference_identifier, tp)].append(
+                    (seg, dists[i], sims[i], np.float32(rec.score), i,
+                     rec.reference_node)
+                )
+        out = self.mesh_backend.pass0_merge(per_shard, len(live))
+        return {
+            ti: {k: v[seg] for k, v in out.items()}
+            for seg, (ti, _) in enumerate(live)
+        }
 
     def _prefetch_segments(self, caches, flat) -> None:
         """Batch all missing reference-segment fetches of this round through

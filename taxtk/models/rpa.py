@@ -270,8 +270,36 @@ class RpaTask:
         return reqs
 
     # ------------------------------------------------------------------ phase B
-    def replay_pass0(self, cache: Dict[PairKey, AlignValue]) -> List[PairKey]:
-        """Pass-0 bookkeeping (:497-566) and pass-1 pair superset."""
+    def pass0_values(self, i: int, cache: Dict[PairKey, AlignValue]):
+        """(distance, similarity) of record i after pass 0 — exact records
+        are 0/identities, aligned records read the cache, everything else is
+        FLT_MAX/identities (:507-549)."""
+        rec = self.records[i]
+        if self._pass0_exact[i]:
+            return f32(0.0), f32(rec.identities)
+        if self._pass0_aligned[i]:
+            aln = cache[("q", i, -1)]
+            return aln.distance, max(aln.similarity, f32(rec.identities))
+        return FLT_MAX, f32(rec.identities)
+
+    def pass0_table(self, cache: Dict[PairKey, AlignValue]):
+        """Per-record (distances, similarities) lists for the collective
+        pass-0 merge (parallel/engine_mesh.py)."""
+        vals = [self.pass0_values(i, cache) for i in range(self.n)]
+        return [v[0] for v in vals], [v[1] for v in vals]
+
+    def replay_pass0(
+        self, cache: Dict[PairKey, AlignValue], merged: Optional[dict] = None
+    ) -> List[PairKey]:
+        """Pass-0 bookkeeping (:497-566) and pass-1 pair superset.
+
+        When `merged` is given (the dp×tp collective merge result from
+        MeshEngineBackend.pass0_merge), the device is authoritative for the
+        pass-0 reductions — best-candidate tie-break, rtax LCA, all-nodes
+        LCA and max support — and the host loop only fills the per-record
+        distance/similarity state.  The logging path recomputes on host
+        (the decision log prints the incremental LCA chain)."""
+        use_merged = merged is not None and not self.logging
         records = self.records
         n = self.n
         tax = self.tax
@@ -317,19 +345,26 @@ class RpaTask:
                 sim = f32(rec.identities)
             self.querydistance[i] = dist
             self.querysimilarity[i] = sim
-            # best-index tie-break (:542-546)
-            if dist < self.querydistance[index_best]:
-                index_best = i
-            elif dist == self.querydistance[index_best]:
-                if sim > self.querysimilarity[index_best]:
+            if not use_merged:
+                # best-index tie-break (:542-546)
+                if dist < self.querydistance[index_best]:
                     index_best = i
-                elif (
-                    sim == self.querysimilarity[index_best]
-                    and rec.score > records[index_best].score
-                ):
-                    index_best = i
-            anchors_support = max(anchors_support, int(sim))
-            lca_allnodes = self._lca(lca_allnodes, rec.reference_node)
+                elif dist == self.querydistance[index_best]:
+                    if sim > self.querysimilarity[index_best]:
+                        index_best = i
+                    elif (
+                        sim == self.querysimilarity[index_best]
+                        and rec.score > records[index_best].score
+                    ):
+                        index_best = i
+                anchors_support = max(anchors_support, int(sim))
+                lca_allnodes = self._lca(lca_allnodes, rec.reference_node)
+
+        if use_merged:
+            # device-merged reductions (collectives over the dp×tp mesh)
+            index_best = int(merged["best_slot"])
+            anchors_support = int(merged["support"])
+            lca_allnodes = int(merged["lca_allnodes"])
 
         # keep only records matching the best (dist, sim, score) (:553-562)
         rtax = records[index_best].reference_node
@@ -342,13 +377,16 @@ class RpaTask:
             ):
                 continue
             cnode = records[i].reference_node
-            rtax = self._lca(rtax, cnode)
+            if not use_merged:
+                rtax = self._lca(rtax, cnode)
             if self.logging:
                 self._log(
                     f"      current ref node: ({self._f2(self.querydistance[i])}) "
                     f"{self._name(rtax)} (+ {self._name(cnode)} )"
                 )
             kept.append(i)
+        if use_merged:
+            rtax = int(merged["rtax"])
         self._log(
             f"    NUMALN\t{self.counters['p0']}\t"
             f"{self.counters['p0n'] - self.counters['p0']}"

@@ -279,19 +279,28 @@ def _call_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
                            K, Tc, n_chunks, n_tiles, SUB, interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("n_tiles", "SUB"))
+def _gather_text(text_u, txt_idx, n_tiles, SUB):
+    """Materialize the per-pair tiled text from the pool ONCE; the gathered
+    array is reused by every pattern-block launch (txt_idx/text_u never
+    change across blocks — re-gathering per block was pure waste)."""
+    S = n_tiles * SUB
+    return jnp.take(text_u, txt_idx, axis=1).reshape(-1, S, LANE)
+
+
 @functools.partial(
     jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret")
 )
-def _call_chunked_gather(peq_u, text_u, pat_idx, txt_idx, mword, mbit, nlen,
+def _call_chunked_gather(peq_u, text, pat_idx, mword, mbit, nlen,
                          score, res, hbuf,
                          K, Tc, n_chunks, n_tiles, SUB, interpret=False):
     """Pool-gather front end for the pattern-block-chunked kernel: long-text
     buckets are often pair-sparse (the cell budget caps real pairs far below
     the tile width), so shipping [text, Bp]-wide arrays is mostly padding.
-    Wire arrays are pool-sized; per-pair layouts materialize on device."""
+    The peq pool gathers per block; `text` arrives already gathered
+    (_gather_text) since it is block-invariant."""
     S = n_tiles * SUB
     peq = jnp.take(peq_u, pat_idx, axis=2).reshape(K, ALPHA, S, LANE)
-    text = jnp.take(text_u, txt_idx, axis=1).reshape(-1, S, LANE)
     return _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
                            K, Tc, n_chunks, n_tiles, SUB, interpret)
 
@@ -357,8 +366,8 @@ def batched_edit_distance_pallas_myers_long(
     """Pattern-block-chunked TPU path for pairs whose pattern exceeds the
     single-launch VMEM budget (aligner routes min-side > 6144bp here).
     Same exact semantics as batched_edit_distance_pallas_myers."""
-    a_codes = np.asarray(a_codes)
-    b_codes = np.asarray(b_codes)
+    a_codes = np.asarray(a_codes, dtype=np.uint8)
+    b_codes = np.asarray(b_codes, dtype=np.uint8)
     a_len = np.asarray(a_len, np.int32)
     b_len = np.asarray(b_len, np.int32)
     B = a_codes.shape[0]
@@ -411,40 +420,25 @@ def batched_edit_distance_pallas_myers_long(
     if pool_gather is None:
         pool_gather = not interpret
     if pool_gather:
-        rows, plen, idx_a, idx_b = _dedupe_pool(a_codes, b_codes, a_len, b_len)
-        U = len(rows)
-        Up = max(8 if interpret else 128, _pow2(U))
-        if Up < Bp or interpret:
-            pool = (rows, plen, idx_a, idx_b, U, Up)
+        # pool only pays when strictly narrower than the padded pair group;
+        # _dedupe_pool bails (returns None) as soon as that is impossible
+        cap = None if interpret else max(128, Bp // 2)
+        pool = _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=cap)
 
     if pool is not None:
-        rows, plen, idx_a, idx_b, U, Up = pool
-        pat_idx = np.zeros(Bp, np.int32)
-        txt_idx = np.zeros(Bp, np.int32)
-        pat_idx[:B] = np.where(swap, idx_b, idx_a)
-        txt_idx[:B] = np.where(swap, idx_a, idx_b)
-        pat_used = np.zeros(U, bool)
-        txt_used = np.zeros(U, bool)
-        pat_used[pat_idx[:B]] = True
-        txt_used[txt_idx[:B]] = True
-        Wp = min(Kp * WORD, int(plen[pat_used].max(initial=1)))
-        pats = np.full((Up, Wp), 255, np.uint8)
-        plen_pat = np.zeros(Up, np.int32)
-        for u in range(U):
-            if pat_used[u]:
-                L = min(int(plen[u]), Wp)
-                pats[u, :L] = rows[u][:L]
-                plen_pat[u] = L
-        peq_u = build_peq(pats, plen_pat, Kp)  # [Kp, ALPHA, Up]
-        text_u = jnp.asarray(_pack_text_pool(rows, plen, txt_used, Np, Up))
+        rows, plen, idx_a, idx_b = pool
+        Up = max(8 if interpret else 128, _pow2(len(rows)))
+        peq_u, text_u, pat_idx, txt_idx = _build_pool_wire(
+            rows, plen, idx_a, idx_b, swap, B, Bp, Kp, Np, Up
+        )
         pat_idx_d = jnp.asarray(pat_idx)
-        txt_idx_d = jnp.asarray(txt_idx)
+        text_d = _gather_text(jnp.asarray(text_u), jnp.asarray(txt_idx),
+                              n_tiles, SUB)
         for p in range(n_blocks):
             score, res, hbuf = _call_chunked_gather(
                 jnp.asarray(peq_u[p * Kb : (p + 1) * Kb]),
-                text_u,
+                text_d,
                 pat_idx_d,
-                txt_idx_d,
                 jnp.asarray(mword_t - p * Kb),
                 mbit_d,
                 nlen_d,
@@ -502,7 +496,7 @@ def batched_edit_distance_pallas_myers_long(
     return post(np.asarray(res))
 
 
-def _dedupe_pool(a_codes, b_codes, a_len, b_len):
+def _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=None):
     """Row-dedupe both pair sides into one sequence pool.
 
     Returns (rows, lens, idx_a, idx_b): `rows` is a list of 1-D uint8 code
@@ -511,7 +505,15 @@ def _dedupe_pool(a_codes, b_codes, a_len, b_len):
     query/anchor/candidate segments across many pairs (pass 0 shares the
     query, pass 1/2 share anchors), so the pool is materially smaller than
     2B rows — and, more importantly, the device wire arrays become
-    pool-sized instead of padded-pair-group-sized."""
+    pool-sized instead of padded-pair-group-sized.
+
+    max_rows: short-circuit — return None as soon as the pool exceeds this
+    many rows (the caller would discard a pool that wide anyway; hashing
+    every byte of a dense unique-pair bucket is pure host overhead).
+
+    Keys include the row length: both sides are uint8 (enforced by the
+    public entry points), but byte-identical prefixes of different logical
+    lengths must not collide."""
     B = a_codes.shape[0]
     seen: dict = {}
     rows = []
@@ -520,15 +522,43 @@ def _dedupe_pool(a_codes, b_codes, a_len, b_len):
     for j, (codes, ls) in enumerate(((a_codes, a_len), (b_codes, b_len))):
         for i in range(B):
             L = int(ls[i])
-            key = codes[i, :L].tobytes()
+            key = (L, codes[i, :L].tobytes())
             u = seen.get(key)
             if u is None:
                 u = len(rows)
+                if max_rows is not None and u >= max_rows:
+                    return None
                 seen[key] = u
                 rows.append(codes[i, :L])
                 lens.append(L)
             idx[j * B + i] = u
     return rows, np.asarray(lens, np.int32), idx[:B], idx[B:]
+
+
+def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up):
+    """Shared pool->wire construction for the single-launch and
+    pattern-block-chunked entry points: per-pair pool indices, used-entry
+    masks, the pattern peq pool [K, ALPHA, Up] and the packed text pool."""
+    pat_idx = np.zeros(Bp, np.int32)
+    txt_idx = np.zeros(Bp, np.int32)
+    pat_idx[:B] = np.where(swap, idx_b, idx_a)
+    txt_idx[:B] = np.where(swap, idx_a, idx_b)
+    U = len(rows)
+    pat_used = np.zeros(U, bool)
+    txt_used = np.zeros(U, bool)
+    pat_used[pat_idx[:B]] = True
+    txt_used[txt_idx[:B]] = True
+    Wp = min(K * WORD, int(plen[pat_used].max(initial=1)))
+    pats = np.full((Up, Wp), 255, np.uint8)
+    plen_pat = np.zeros(Up, np.int32)
+    for u in range(U):
+        if pat_used[u]:
+            L = min(int(plen[u]), Wp)
+            pats[u, :L] = rows[u][:L]
+            plen_pat[u] = L
+    peq_u = build_peq(pats, plen_pat, K)  # [K, ALPHA, Up]
+    text_u = _pack_text_pool(rows, plen, txt_used, Np, Up)
+    return peq_u, text_u, pat_idx, txt_idx
 
 
 def _pack_text_pool(rows, lens, txt_used, Np, Up):
@@ -622,8 +652,8 @@ def batched_edit_distance_pallas_myers(
     pool_gather: None = auto (on for compiled runs when the dedupe pool is
     narrower than the padded pair group), True = force (tests), False = off.
     """
-    a_codes = np.asarray(a_codes)
-    b_codes = np.asarray(b_codes)
+    a_codes = np.asarray(a_codes, dtype=np.uint8)
+    b_codes = np.asarray(b_codes, dtype=np.uint8)
     a_len = np.asarray(a_len, np.int32)
     b_len = np.asarray(b_len, np.int32)
     B = a_codes.shape[0]
@@ -681,32 +711,17 @@ def batched_edit_distance_pallas_myers(
     if pool_gather is None:
         pool_gather = not interpret
     if pool_gather:
-        rows, plen, idx_a, idx_b = _dedupe_pool(a_codes, b_codes, a_len, b_len)
-        U = len(rows)
-        Up = max(8 if interpret else 128, _pow2(U))
-        if Up < Bp or interpret:
-            pool = (rows, plen, idx_a, idx_b, U, Up)
+        # pool only pays when strictly narrower than the padded pair group;
+        # _dedupe_pool bails (returns None) as soon as that is impossible
+        cap = None if interpret else max(128, Bp // 2)
+        pool = _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=cap)
 
     if pool is not None:
-        rows, plen, idx_a, idx_b, U, Up = pool
-        pat_idx = np.zeros(Bp, np.int32)
-        txt_idx = np.zeros(Bp, np.int32)
-        pat_idx[:B] = np.where(swap, idx_b, idx_a)
-        txt_idx[:B] = np.where(swap, idx_a, idx_b)
-        pat_used = np.zeros(U, bool)
-        txt_used = np.zeros(U, bool)
-        pat_used[pat_idx[:B]] = True
-        txt_used[txt_idx[:B]] = True
-        Wp = min(K * WORD, int(plen[pat_used].max(initial=1)))
-        pats = np.full((Up, Wp), 255, np.uint8)
-        plen_pat = np.zeros(Up, np.int32)
-        for u in range(U):
-            if pat_used[u]:
-                L = min(int(plen[u]), Wp)
-                pats[u, :L] = rows[u][:L]
-                plen_pat[u] = L
-        peq_u = build_peq(pats, plen_pat, K)  # [K, ALPHA, Up]
-        text_u = _pack_text_pool(rows, plen, txt_used, Np, Up)
+        rows, plen, idx_a, idx_b = pool
+        Up = max(8 if interpret else 128, _pow2(len(rows)))
+        peq_u, text_u, pat_idx, txt_idx = _build_pool_wire(
+            rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up
+        )
         kernel_out = _call_gather(
             jnp.asarray(peq_u),
             jnp.asarray(text_u),

@@ -1,0 +1,116 @@
+"""dp×tp mesh inside the REAL RPA engine: tp-sharded candidate alignment
+rounds + collective pass-0 merge produce byte-identical GFF3 on the
+8-device virtual CPU mesh at tp=2 and tp=4 (VERDICT round-1 item 1;
+reference tie-break semantics: taxonpredictionmodelsequence.hh:542-546)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from taxtk.engine.aligner import BatchAligner
+from taxtk.parallel.mesh import make_mesh
+from fixture_tax import make_taxonomy
+from test_rpa import _synthesize_case, DictStore, run_engine, OracleAligner
+
+
+def _make_corpus(tmp_path, n_cases=10, seed=1234):
+    tax = make_taxonomy(tmp_path, prune=True)
+    rng = random.Random(seed)
+    recordsets, qseqs, refseqs = [], {}, {}
+    for case in range(n_cases):
+        made = _synthesize_case(rng, tax)
+        if made is None:
+            continue
+        refs, qs, records = made
+        qid = f"q{case}"
+        for r in records:
+            r.query_identifier = qid
+            r.reference_identifier = f"c{case}_" + r.reference_identifier
+        refseqs.update({f"c{case}_" + k: v for k, v in refs.items()})
+        qseqs[qid] = qs["q0"]
+        recordsets.append(records)
+    return tax, qseqs, refseqs, recordsets
+
+
+def _run_mesh(tax, qseqs, refseqs, recordsets, tp):
+    mesh = make_mesh(8, tp=tp)
+    aligner = BatchAligner("dna", dna_backend="myers", mesh=mesh)
+    return run_engine(
+        tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+        aligner=aligner, mesh=mesh,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_sharded_engine_byte_identical(tmp_path, tp):
+    tax, qseqs, refseqs, recordsets = _make_corpus(tmp_path)
+    out_single = run_engine(
+        tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+        aligner=OracleAligner("dna"),
+    )
+    out_mesh = _run_mesh(tax, qseqs, refseqs, recordsets, tp)
+    assert out_mesh == out_single
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_pass0_merge_matches_host_reduction(tmp_path):
+    """The collective merge result equals the host loop's reductions on
+    every task (device is authoritative in the engine — verify directly)."""
+    from taxtk.engine.executor import RpaEngine
+    from taxtk.models.rpa import RpaTask
+
+    tax, qseqs, refseqs, recordsets = _make_corpus(tmp_path, seed=99)
+    mesh = make_mesh(8, tp=2)
+    aligner = BatchAligner("dna", dna_backend="myers", mesh=mesh)
+    eng = RpaEngine(
+        tax, DictStore(qseqs), DictStore(refseqs), aligner=aligner, mesh=mesh
+    )
+    import io
+
+    # run once to exercise the merge path end to end
+    out = io.StringIO()
+    eng.run(iter(recordsets), out)
+
+    # re-run the rounds by hand and compare merge vs host reductions
+    tasks = [RpaTask(tax, rs) for rs in recordsets]
+    from taxtk.engine.executor import SegmentCache
+
+    caches = [
+        SegmentCache(t, DictStore(qseqs), DictStore(refseqs), False)
+        for t in tasks
+    ]
+    pair_caches = [dict() for _ in tasks]
+    reqs = [t.prepare() for t in tasks]
+    eng._align_round(tasks, caches, pair_caches, reqs)
+    merged = eng._pass0_collective_merge(tasks, pair_caches)
+    assert merged  # at least one live task
+
+    for ti, t in enumerate(tasks):
+        if t.result is not None:
+            continue
+        # host reference reductions
+        dists, sims = t.pass0_table(pair_caches[ti])
+        best = 0
+        for i in range(t.n):
+            key = (dists[i], -sims[i], -float(t.records[i].score))
+            bkey = (dists[best], -sims[best], -float(t.records[best].score))
+            if key < bkey:
+                best = i
+        m = merged[ti]
+        assert int(m["best_slot"]) == best
+        assert np.float32(m["best_dist"]) == dists[best]
+        co = [
+            t.records[i].reference_node
+            for i in range(t.n)
+            if dists[i] == dists[best]
+            and sims[i] == sims[best]
+            and t.records[i].score == t.records[best].score
+        ]
+        assert int(m["rtax"]) == tax.lca_reduce(co)
+        assert int(m["lca_allnodes"]) == tax.lca_reduce(
+            [r.reference_node for r in t.records]
+        )
+        assert int(m["support"]) == max(int(s) for s in sims)

@@ -33,7 +33,7 @@ class OracleAligner(BatchAligner):
     def __init__(self, mode="dna"):
         super().__init__(mode)
 
-    def align_pairs(self, pairs):
+    def align_pairs(self, pairs, shard_ids=None):
         out = []
         for a, b in pairs:
             if self.mode == "dna":
@@ -81,8 +81,10 @@ def tax(tmp_path):
     return make_taxonomy(tmp_path, prune=True)
 
 
-def run_engine(tax, qstore, dbstore, recordsets, aligner=None, protein=False):
-    eng = RpaEngine(tax, qstore, dbstore, protein=protein, aligner=aligner)
+def run_engine(tax, qstore, dbstore, recordsets, aligner=None, protein=False,
+               mesh=None):
+    eng = RpaEngine(tax, qstore, dbstore, protein=protein, aligner=aligner,
+                    mesh=mesh)
     out = io.StringIO()
     eng.run(iter(recordsets), out)
     return out.getvalue()
