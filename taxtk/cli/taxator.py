@@ -185,7 +185,13 @@ def main(argv=None) -> int:
 
 
 def _make_mesh(spec: str):
-    """'DPxTP' -> jax.sharding.Mesh over the first DP*TP devices."""
+    """'DPxTP' -> jax.sharding.Mesh over the first DP*TP devices.
+
+    When the default backend has fewer devices than the mesh needs (e.g.
+    single-chip via tunnel), fall back to the virtual CPU device set —
+    XLA_FLAGS=--xla_force_host_platform_device_count=N provides them."""
+    import jax
+
     from ..parallel.mesh import make_mesh
 
     try:
@@ -193,7 +199,21 @@ def _make_mesh(spec: str):
         dp, tp = int(dp_s), int(tp_s)
     except ValueError:
         raise TaxtkError(f"bad --mesh spec {spec!r}; expected DPxTP, e.g. 4x2")
-    return make_mesh(dp * tp, tp=tp)
+    n = dp * tp
+    devices = jax.devices()
+    if len(devices) < n:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            devices = jax.devices()
+        except Exception:
+            pass
+        if len(devices) < n:
+            devices = jax.devices("cpu")
+    if len(devices) < n:
+        raise TaxtkError(
+            f"--mesh {spec} needs {n} devices; {len(devices)} available"
+        )
+    return make_mesh(n, tp=tp, devices=devices)
 
 
 def _make_lca_model(args, tax):
