@@ -2,15 +2,29 @@
 """Driver benchmark: RPA DNA alignment throughput on the accelerator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Measures the hot-path kernel of the whole framework — exact batched global
 edit distance (the RPA realignment kernel, bit-parallel Myers) — in giga
 DP-cell updates per second (GCUPS) on one chip at a production-shaped
-workload (32k pairs x 512bp).  Inputs are staged on device once and R
-kernel rounds are timed with a single device->host readback (this host's
-tunnel has ~170 ms fixed D2H latency; the engine amortizes readbacks the
-same way via macro-batching).
+workload: 8192 pairs x 2048 bp (K=64 pattern words, the register fast
+path; the engine's long-segment bucket shape for config-4 contigs).
+
+Protocol (round-2, controlled + regressable):
+  * S=4 DISTINCT device-resident input sets cycled across rounds — repeat
+    launches of identical inputs measure the remote service's caching, not
+    the chip (benchmarks/probe_memoization.py)
+  * thorough warmup (absorbs the remote service's scheduling quanta +
+    compile), then NREP timed repetitions of R rounds each, every rep
+    closed by ONE forced scalar readback (block_until_ready does not
+    reliably synchronize on this backend — docs/DESIGN.md section 7)
+  * value = MEDIAN over reps; iqr_pct reported for run-to-run spread
+
+Roofline (BASELINE.md "Roofline" section): the kernel executes ~36 VPU ops
+per 32-cell pattern-block step = 1.125 ops/cell (op count annotated in
+ops/pallas_myers.py); v5e VPU peak is 8x128 lanes x 4 ALUs x 0.94 GHz =
+3.85e12 int32 ops/s -> ~3.4e3 GCUPS speed-of-light for this op mix.
+roofline_pct = value / 3400.
 
 vs_baseline divides by the reference implementation's algorithm on the host
 CPU: our native single-thread Myers bit-vector (taxtk/native/myers.cpp),
@@ -25,9 +39,11 @@ import time
 
 import numpy as np
 
-B, L, ROUNDS = 8192, 512, 32  # one canonical 8-tile kernel group per round;
-# enough rounds that total device time swamps the remote service's ~0.77s
-# synchronization quantum (see docs/DESIGN.md section 7)
+B, L = 8192, 2048  # canonical 8-tile group, K=64 register fast path
+SETS = 4  # distinct device-resident input sets, cycled
+ROUNDS = 16  # launches per timed rep (~2.7e11 cells)
+NREP = 5  # timed reps; report median + IQR
+ROOFLINE_GCUPS = 3400.0  # v5e VPU analytic speed-of-light (see BASELINE.md)
 
 
 def _run_with_watchdog(timeout_s=1500):
@@ -62,6 +78,46 @@ def _run_with_watchdog(timeout_s=1500):
     raise RuntimeError(f"bench failed: {r.stderr[-500:]}")
 
 
+def _stage_tpu(seed):
+    """One device-resident input set at the canonical shape; returns
+    (device_args, statics, raw host pair arrays)."""
+    import jax.numpy as jnp
+
+    from taxtk.ops import pallas_myers as pm
+    from taxtk.ops.myers_batch import _precompute
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 4, (B, L)).astype(np.uint8)
+    b = rng.randint(0, 4, (B, L)).astype(np.uint8)
+    al = np.full(B, L, np.int32)
+    bl = np.full(B, L, np.int32)
+    peq, text, hmask, m_len, n_len, K = _precompute(a, b, al, bl)
+    K = pm._quantize_K(K)
+    SUB = 8
+    TILE = SUB * pm.LANE
+    n_tiles = -(-B // TILE)
+    Bp = n_tiles * TILE
+    Tc = 512
+    n_chunks = pm._pow2(-(-text.shape[0] // Tc))
+
+    def tile_pairs(arr, fill, dtype):
+        out = np.full(arr.shape[:-1] + (Bp,), fill, dtype)
+        out[..., :B] = arr
+        return out.reshape(arr.shape[:-1] + (n_tiles * SUB, pm.LANE))
+
+    if K > peq.shape[0]:
+        peq = np.concatenate(
+            [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
+        )
+    peq_t = tile_pairs(peq, 0, np.uint32)
+    mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
+    nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
+    Np = n_chunks * Tc
+    text_t = pm._pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
+    d_args = [jnp.asarray(x) for x in (peq_t, text_t, nlen_t, mlen_t)]
+    return d_args, (K, Tc, n_chunks, n_tiles, SUB), (a, b, al, bl)
+
+
 def main():
     import os
 
@@ -72,79 +128,84 @@ def main():
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
-
-    rng = np.random.RandomState(0)
-    a = rng.randint(0, 4, (B, L)).astype(np.uint8)
-    b = rng.randint(0, 4, (B, L)).astype(np.uint8)
-    al = np.full(B, L, np.int32)
-    bl = np.full(B, L, np.int32)
     cells = float(B) * L * L
 
-    from taxtk.ops.myers_batch import _precompute, _myers_kernel
-
-    peq, text, hmask, m_len, n_len, K = _precompute(a, b, al, bl)
-
     if platform == "cpu":
-        run = lambda *args: _myers_kernel(*args)
+        from taxtk.ops.myers_batch import _precompute, _myers_kernel
+
+        rng = np.random.RandomState(0)
+        # CPU backend: small shape (this path only runs when the chip is
+        # unreachable; it exists so the driver always gets a number)
+        Bc, Lc = 512, 512
+        a = rng.randint(0, 4, (Bc, Lc)).astype(np.uint8)
+        b = rng.randint(0, 4, (Bc, Lc)).astype(np.uint8)
+        al = np.full(Bc, Lc, np.int32)
+        bl = np.full(Bc, Lc, np.int32)
+        cells = float(Bc) * Lc * Lc
+        peq, text, hmask, m_len, n_len, K = _precompute(a, b, al, bl)
         d_args = [jnp.asarray(x) for x in (peq, text, hmask, m_len, n_len)]
+        sets = [d_args]
+        run = lambda args: _myers_kernel(*args)
+        raw = (a, b, al, bl)
+        rounds, nrep = 4, 3
     else:
         from taxtk.ops import pallas_myers as pm
 
-        SUB = 8
-        TILE = SUB * pm.LANE
-        n_tiles = -(-B // TILE)
-        Bp = n_tiles * TILE
-        Tc = 512
-        n_chunks = -(-text.shape[0] // Tc)
+        staged = [_stage_tpu(seed) for seed in range(SETS)]
+        statics = staged[0][1]
+        sets = [s[0] for s in staged]
+        raw = staged[0][2]
+        run = lambda args: pm._call(*args, *statics)
+        rounds, nrep = ROUNDS, NREP
 
-        def tile_pairs(arr, fill, dtype):
-            out = np.full(arr.shape[:-1] + (Bp,), fill, dtype)
-            out[..., :B] = arr
-            return out.reshape(arr.shape[:-1] + (n_tiles * SUB, pm.LANE))
+    # warmup: compile + absorb the remote service's scheduling quanta
+    for i in range(4):
+        _ = float(jnp.asarray(run(sets[i % len(sets)])).sum())
 
-        peq_t = tile_pairs(peq, 0, np.uint32)
-        mlen_t = tile_pairs(m_len[None, :], 1, np.int32)[0]
-        nlen_t = tile_pairs(n_len[None, :], 1, np.int32)[0]
-        Np = n_chunks * Tc
-        text_t = pm._pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
-        d_args = [jnp.asarray(x) for x in (peq_t, text_t, nlen_t, mlen_t)]
-        run = lambda *args: pm._call(*args, K, Tc, n_chunks, n_tiles, SUB)
+    gcups = []
+    for _rep in range(nrep):
+        t0 = time.time()
+        outs = [run(sets[i % len(sets)]) for i in range(rounds)]
+        _chk = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+        dt = time.time() - t0
+        gcups.append(rounds * cells / dt / 1e9)
+    gcups.sort()
+    value = gcups[len(gcups) // 2]
+    q1 = gcups[len(gcups) // 4]
+    q3 = gcups[(3 * len(gcups)) // 4]
+    iqr_pct = 100.0 * (q3 - q1) / value if value else 0.0
 
-    # warm (compile) then timed rounds.  block_until_ready does not reliably
-    # separate dispatch from execution on the remote axon backend, so the
-    # timed section is closed by ONE tiny forced readback (a device-side
-    # reduction over every round's output) — the only sync that counts.
-    out = run(*d_args)
-    _ = float(jnp.asarray(out).sum())
-    t0 = time.time()
-    outs = [run(*d_args) for _ in range(ROUNDS)]
-    _chk = float(jnp.stack([jnp.asarray(o).sum() for o in outs]).sum())
-    dt = time.time() - t0
-    device_gcups = ROUNDS * cells / dt / 1e9
-    device_result = np.asarray(outs[-1]).reshape(-1)[:B]
-    device_result = np.where(m_len == 0, n_len, device_result)
+    device_result = np.asarray(run(sets[0])).reshape(-1)[:B]
 
-    # CPU baseline: single-thread native Myers on a subsample
+    # CPU baseline: single-thread native Myers on a subsample + correctness
     from taxtk.native import myers_batch, load
 
+    a, b, al, bl = raw
     vs_baseline = 0.0
     if load() is not None:
-        n = 2048
+        n = min(256, len(al))
         pairs = [(a[i, : al[i]], b[i, : bl[i]]) for i in range(n)]
         sub_cells = float(sum(int(al[i]) * int(bl[i]) for i in range(n)))
         t0 = time.time()
         cpu_out = myers_batch(pairs, n_threads=1)  # single-core baseline
         cpu_gcups = sub_cells / (time.time() - t0) / 1e9
-        vs_baseline = device_gcups / cpu_gcups
+        vs_baseline = value / cpu_gcups
         assert (device_result[:n] == cpu_out).all(), "kernel vs native mismatch"
 
     print(
         json.dumps(
             {
                 "metric": f"rpa_dna_alignment_throughput_{platform}",
-                "value": round(device_gcups, 2),
+                "value": round(value, 1),
                 "unit": "GCUPS/chip",
-                "vs_baseline": round(vs_baseline, 3),
+                "vs_baseline": round(vs_baseline, 1),
+                "protocol": f"median of {nrep} reps x {rounds} rounds, "
+                            f"{len(sets)} distinct input sets, one-sync",
+                "shape": f"{B}x{L}" if platform != "cpu" else "512x512",
+                "iqr_pct": round(iqr_pct, 1),
+                "roofline_pct": round(100.0 * value / ROOFLINE_GCUPS, 1)
+                if platform != "cpu"
+                else None,
             }
         )
     )

@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("-b", "--best-alignments", type=int, default=0)
     p.add_argument("-s", "--sort-score", action="store_true")
     p.add_argument("-k", "--keep-best-per-ref", action="store_true")
+    # extension beyond the reference CLI: alignmentsfilter.hh:577 exists in
+    # the reference library but is wired to no binary; needs -y mapping
+    p.add_argument("--keep-best-per-taxid", action="store_true")
     p.add_argument("-c", "--min-support", type=int, default=1)
     p.add_argument("-r", "--remove-ref-from-query-taxon", action="store_true")
     p.add_argument("-x", "--taxon-mapping-sample")
@@ -66,6 +69,20 @@ def main(argv=None) -> int:
         )
     if args.keep_best_per_ref:
         filters.append(BestScorePerReferenceSeqIDFilter())
+    if args.keep_best_per_taxid:
+        if not args.taxon_mapping_reference:
+            print(
+                "'--keep-best-per-taxid' requires '--taxon-mapping-reference'"
+            )
+            return 0
+        from ..engine.filters import BestScorePerReferenceTaxIDFilter
+
+        refmap = load_seqid_taxid_mapping(args.taxon_mapping_reference)
+        filters.append(
+            BestScorePerReferenceTaxIDFilter(
+                key=lambda r: refmap[r.reference_identifier]
+            )
+        )
     if args.sort_score:
         filters.append(SortFilter())
     if args.min_pid > 0.0:

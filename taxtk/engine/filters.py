@@ -244,6 +244,34 @@ class BestScorePerReferenceSeqIDFilter:
                 keep[r.reference_identifier] = r
 
 
+class BestScorePerReferenceTaxIDFilter:
+    """Keep only the best-scoring record per reference TAXON (reference:
+    alignmentsfilter.hh:577-604; unreachable from any reference binary —
+    provided for library completeness, exposed as --keep-best-per-taxid).
+
+    key: record -> taxon key; defaults to the resolved reference node
+    (engine context); the CLI passes a seqid->taxid mapping lookup."""
+
+    def __init__(self, key=None):
+        self.key = key or (lambda r: r.reference_node)
+
+    def filter(self, recordset):
+        keep: Dict[object, AlignmentRecord] = {}
+        for r in recordset:
+            if r.masked:
+                continue
+            key = self.key(r)
+            prev = keep.get(key)
+            if prev is not None:
+                if prev.score < r.score:
+                    prev.masked = True
+                    keep[key] = r
+                else:
+                    r.masked = True
+            else:
+                keep[key] = r
+
+
 class RemoveRedundantFilter:
     """Mask records whose taxon is subsumed by the running LCA; expects a
     sorted set (reference: alignmentsfilter.hh:262-299)."""

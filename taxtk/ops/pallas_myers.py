@@ -6,8 +6,14 @@ TPU mapping of myers_batch.py (same exact semantics): pairs tile into
 dimension sequential — Pv/Mv/score state lives in VMEM scratch across
 chunks, so arbitrarily long texts stream through a bounded VMEM window.
 
-~20 VPU ops per (text char x 32-cell block) -> ~0.6 ops/DP-cell, versus
-~12 ops/cell for the wavefront formulation.
+Op count per (text char x 32-cell pattern block), for the roofline in
+bench.py / BASELINE.md: peq select chain 10 (4 cmp+select pairs + the
+sentinel reject), core Myers recurrences 13 (eq/xv/add/xh/ph/mh/new_pv/
+new_mv), score harvest 6 (two masked +-1 updates), carry shifts 6 —
+~36 VPU ops per 32 cells = ~1.125 ops/DP-cell, versus ~12 ops/cell for
+the wavefront formulation.  v5e VPU peak (8x128 lanes x 4 ALUs x
+0.94 GHz = 3.85e12 int32 op/s) puts this kernel's speed-of-light at
+~3.4e3 GCUPS; bench.py reports delivered GCUPS against that roofline.
 """
 
 from __future__ import annotations

@@ -143,6 +143,47 @@ def write_html_summary(taxsummary, out: TextIO, sample_name: str):
     )
 
 
+def taxsummary_to_krona_text(taxsummary) -> Tuple[List[str], List[str]]:
+    """taxsummary rows -> the two Krona text datasets the reference feeds
+    ktImportText (reference: extended/bin/taxsummary2krona:1-15): lines of
+    `magnitude<TAB>name1<TAB>name2...`, magnitude = support (dataset 1) or
+    length (dataset 2), path split on ';', sorted -k1,1nr."""
+    support_rows = []
+    data_rows = []
+    for path, support, length in taxsummary:
+        fields = "\t".join(path.split(";")) if path else ""
+        support_rows.append((support, f"{support}\t{fields}"))
+        data_rows.append((length, f"{length}\t{fields}"))
+    support_rows.sort(key=lambda t: -t[0])
+    data_rows.sort(key=lambda t: -t[0])
+    return [r for _, r in support_rows], [r for _, r in data_rows]
+
+
+def write_krona(taxsummary, sample_name: str, outdir: str) -> Dict[str, str]:
+    """Write the Krona-consumable text datasets; when a real `ktImportText`
+    is on PATH (gated, like the aligners), also render the Krona HTML."""
+    import shutil
+    import subprocess
+
+    support_rows, data_rows = taxsummary_to_krona_text(taxsummary)
+    p_sup = os.path.join(outdir, sample_name + ".krona.support.txt")
+    p_dat = os.path.join(outdir, sample_name + ".krona.data.txt")
+    with open(p_sup, "w") as fh:
+        fh.write("".join(r + "\n" for r in support_rows))
+    with open(p_dat, "w") as fh:
+        fh.write("".join(r + "\n" for r in data_rows))
+    paths = {"krona_support": p_sup, "krona_data": p_dat}
+    kt = shutil.which("ktImportText")
+    if kt:
+        p_html = os.path.join(outdir, sample_name + ".krona.html")
+        subprocess.run(
+            [kt, "-o", p_html, f"{p_sup},Support (bp)", f"{p_dat},Data (bp)"],
+            check=True,
+        )
+        paths["krona_html"] = p_html
+    return paths
+
+
 def binning_to_summary(
     tax: FlatTaxonomy, binning_path: str, sample_name: str, outdir: str
 ) -> Dict[str, str]:
@@ -177,4 +218,6 @@ def binning_to_summary(
     with open(p, "w") as fh:
         write_html_summary(summary, fh, sample_name)
     paths["html"] = p
+
+    paths.update(write_krona(summary, sample_name, outdir))
     return paths

@@ -80,6 +80,16 @@ def _which(prog: str) -> Optional[str]:
     return shutil.which(prog)
 
 
+def _sorted_fallback(engine, resolved, fh) -> None:
+    """In-memory sort fallback when coreutils `sort` is unavailable; matches
+    `LC_ALL=C sort -k1,1` (key-1 compare, whole line as last resort)."""
+    buf = io.StringIO()
+    engine.run(iter_record_sets(resolved(), True, False), buf)
+    lines = buf.getvalue().splitlines()
+    lines.sort(key=lambda l: (l.split("\t", 1)[0], l))
+    fh.write("".join(l + "\n" for l in lines))
+
+
 def run_aligner_blast(refpack: Refpack, input_fasta: str, out_path: str,
                       algorithm: str = "dc-megablast", cores: int = 1,
                       extra_options: str = "") -> None:
@@ -95,10 +105,16 @@ def run_aligner_blast(refpack: Refpack, input_fasta: str, out_path: str,
         cmd[1:1] = ["-task", algorithm]
     if extra_options:
         cmd.extend(extra_options.split())
+    # stream aligner stdout -> file, stripping spaces on the fly (the bash
+    # pipeline's `tr -d ' '`, binning-blast.bash:98) — constant memory
     with open(out_path, "w") as out:
-        proc = subprocess.run(cmd, stdout=subprocess.PIPE, check=True, text=True)
-        # blast fields can contain spaces which must be removed (bash: tr -d ' ')
-        out.write(proc.stdout.replace(" ", ""))
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            out.write(line.replace(" ", ""))
+        rc = proc.wait()
+        if rc != 0:
+            raise subprocess.CalledProcessError(rc, cmd)
 
 
 def run_binning_workflow(
@@ -162,19 +178,31 @@ def run_binning_workflow(
         macro_batch=macro_batch,
         aligner=aligner,
     )
-    gff3_unsorted = io.StringIO()
-    engine.run(iter_record_sets(resolved(), True, False), gff3_unsorted)
-
-    # sort -k1,1 (reference: binning-blast.bash:113)
-    lines = gff3_unsorted.getvalue().splitlines()
-    header = [l for l in lines if l.startswith("#")]
-    body = sorted(
-        (l for l in lines if l and not l.startswith("#")),
-        key=lambda l: l.split("\t", 1)[0],
-    )
+    # stream GFF3 straight into an external `sort -k1,1` (the reference
+    # pipeline's own reorder stage, binning-blast.bash:113): the engine
+    # never buffers its output, sort spills to disk — RSS stays bounded at
+    # config-4 scale (10k contigs).  The `##gff-version 3` header rides
+    # through the sort and lands first under LC_ALL=C ('#' < [0-9A-Za-z]),
+    # exactly like the reference pipeline keeps it.
     gff3_path = os.path.join(outdir, SAMPLE_NAME + ".gff3")
+    engine_exc: list = []
+    sort_exe = _which("sort")
     with open(gff3_path, "w") as fh:
-        fh.write("\n".join(body) + "\n" if body else "")
+        if sort_exe:
+            env = dict(os.environ, LC_ALL="C")
+            proc = subprocess.Popen(
+                [sort_exe, "-k1,1", "-T", outdir],
+                stdin=subprocess.PIPE, stdout=fh, text=True, env=env,
+            )
+            try:
+                engine.run(iter_record_sets(resolved(), True, False), proc.stdin)
+            finally:
+                proc.stdin.close()
+                rc = proc.wait()
+            if rc != 0:
+                raise TaxtkError(f"sort failed with exit code {rc}")
+        else:  # pragma: no cover - sort is coreutils
+            _sorted_fallback(engine, resolved, fh)
 
     # stage 3: binner
     binning_path = os.path.join(outdir, SAMPLE_NAME + ".binning")

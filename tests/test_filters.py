@@ -75,6 +75,18 @@ class TestScoreFilters:
         BestScorePerReferenceSeqIDFilter().filter(rs)
         assert masks(rs) == [False, True, False]
 
+    def test_best_per_reference_taxid(self):
+        # a and b map to the same taxon: only the best of the three survives
+        from taxtk.engine.filters import BestScorePerReferenceTaxIDFilter
+
+        taxmap = {"a": "t1", "b": "t1", "c": "t2"}
+        rs = [_rec(100, rid="a"), _rec(90, rid="b"), _rec(95, rid="c"),
+              _rec(110, rid="b")]
+        BestScorePerReferenceTaxIDFilter(
+            key=lambda r: taxmap[r.reference_identifier]
+        ).filter(rs)
+        assert masks(rs) == [True, True, False, False]
+
     def test_sort_stable_desc(self):
         rs = [_rec(50, ident=10), _rec(100), _rec(50, ident=20)]
         SortFilter().filter(rs)

@@ -97,6 +97,13 @@ class TestWorkflow:
         )
         for key in ("alignments", "gff3", "binning", "taxpath", "taxsummary", "vprofile", "html"):
             assert os.path.exists(paths[key]), key
+        # the streamed external sort keeps the header first (reference
+        # pipes `##gff-version 3` through sort -k1,1) and emits the body
+        # sorted by column 1
+        gff3_lines = open(paths["gff3"]).read().splitlines()
+        assert gff3_lines[0] == "##gff-version 3"
+        keys = [l.split("\t", 1)[0] for l in gff3_lines[1:]]
+        assert keys == sorted(keys)
         binning = open(paths["binning"]).read()
         rows = [
             l for l in binning.splitlines() if l and not l.startswith(("#", "@"))
@@ -110,6 +117,13 @@ class TestWorkflow:
         assert sum(int(l.split("\t")[2]) for l in summary) == total_len
         html = open(paths["html"]).read()
         assert "<html" in html and "details" in html
+        # Krona-consumable text datasets (reference: taxsummary2krona):
+        # magnitude<TAB>path-fields, sorted desc by magnitude
+        for key, col in (("krona_support", 1), ("krona_data", 2)):
+            rows = open(paths[key]).read().splitlines()
+            mags = [int(r.split("\t")[0]) for r in rows]
+            assert mags == sorted(mags, reverse=True) and mags
+            assert sum(mags) == sum(int(l.split("\t")[col]) for l in summary)
 
 
 MAF_TEXT = """# LAST version 1170
