@@ -20,7 +20,16 @@ def build_parser():
     p.add_argument("input_fasta")
     p.add_argument("outdir")
     p.add_argument("-V", "--version", action="store_true")
-    p.add_argument("--protein", action="store_true")
+    p.add_argument("--protein", action="store_true",
+                   help="protein pipeline: ORF-call the DNA input, then "
+                        "blastp (binning-blast-protein.bash)")
+    p.add_argument("--no-orf-calling", action="store_true",
+                   help="with --protein: the input is already amino-acid "
+                        "ORFs; skip the gene-calling stage")
+    p.add_argument("--aligner", choices=["blast", "last"], default="blast",
+                   help="candidate aligner: blastn/blastp or lastal "
+                        "-f 1 -X 3 -e 40 with query sharding "
+                        "(binning-last.bash)")
     p.add_argument("--alignments", help="existing 11-col TSV(.gz) to skip the aligner")
     p.add_argument("--maf", help="existing LAST MAF file to convert + use")
     p.add_argument("--speedup", type=float, default=0.5)
@@ -62,6 +71,10 @@ def main(argv=None) -> int:
             speedup=args.speedup,
             cores=args.cores,
             glob_regex=args.glob_identifier,
+            aligner_kind=args.aligner,
+            # ORF calling is deterministic, so it also reruns on a restart
+            # from --alignments (the records reference ORF identifiers)
+            orf_call=args.protein and not args.no_orf_calling,
         )
     except TaxtkError as e:
         print(f"pipeline error: {e}", file=sys.stderr)

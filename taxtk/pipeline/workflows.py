@@ -117,6 +117,81 @@ def run_aligner_blast(refpack: Refpack, input_fasta: str, out_path: str,
             raise subprocess.CalledProcessError(rc, cmd)
 
 
+def _split_fasta(input_fasta: str, n_parts: int, outdir: str) -> list:
+    """Split a FASTA into <= n_parts contiguous record chunks (order
+    preserved); the lastal-parallel analog of GNU parallel --pipepart
+    --recstart '>' (reference: extended/bin/lastal-parallel:172)."""
+    # record offsets
+    offsets = []
+    with open(input_fasta, "rb") as fh:
+        pos = 0
+        for line in fh:
+            if line.startswith(b">"):
+                offsets.append(pos)
+            pos += len(line)
+        end = pos
+    if not offsets:
+        return []
+    n_parts = max(1, min(n_parts, len(offsets)))
+    per = -(-len(offsets) // n_parts)
+    parts = []
+    with open(input_fasta, "rb") as fh:
+        for k in range(0, len(offsets), per):
+            start = offsets[k]
+            stop = offsets[k + per] if k + per < len(offsets) else end
+            path = os.path.join(outdir, f"qpart.{len(parts)}.fna")
+            fh.seek(start)
+            with open(path, "wb") as out:
+                out.write(fh.read(stop - start))
+            parts.append(path)
+    return parts
+
+
+def run_aligner_last(refpack: Refpack, input_fasta: str, out_path: str,
+                     cores: int = 1, extra_options: str = "") -> None:
+    """lastal candidate generation with the reference defaults `-f 1 -X 3
+    -e 40` (reference: binning-last.bash:92) and within-host query sharding
+    across cores with deterministic in-order merge (the lastal-parallel
+    analog, extended/bin/lastal-parallel:160-196).  MAF output is converted
+    to 11-column TSV on the fly (lastmaf2alignments -s semantics)."""
+    from .maf import convert_maf
+
+    exe = _which("lastal")
+    if exe is None:
+        raise TaxtkError("external aligner not found (lastal); provide an "
+                         "alignments file or --maf instead")
+    index = refpack.aligner_index("last")
+    base = [exe, "-f", "1", "-X", "3", "-e", "40"]
+    if extra_options:
+        base.extend(extra_options.split())
+
+    tmpdir = os.path.dirname(os.path.abspath(out_path))
+    parts = _split_fasta(input_fasta, cores, tmpdir) if cores > 1 else [input_fasta]
+    try:
+        procs = []
+        for part in parts:
+            with open(part) as qf:
+                procs.append(
+                    subprocess.Popen(
+                        base + [index, "-"], stdin=qf,
+                        stdout=subprocess.PIPE, text=True,
+                    )
+                )
+        with open(out_path, "w") as out:
+            # in-order merge: part k's output is fully consumed before
+            # part k+1 (lastal emits per-query blocks in input order, so
+            # concatenation restores the global query order)
+            for proc in procs:
+                convert_maf(proc.stdout, out)
+                rc = proc.wait()
+                if rc != 0:
+                    raise subprocess.CalledProcessError(rc, base)
+    finally:
+        for part in parts:
+            if part != input_fasta and os.path.exists(part):
+                os.unlink(part)
+
+
 def run_binning_workflow(
     refpack_dir: str,
     input_fasta: str,
@@ -128,17 +203,41 @@ def run_binning_workflow(
     glob_regex: Optional[str] = None,
     macro_batch: int = 512,
     aligner=None,
+    aligner_kind: str = "blast",
+    orf_call: bool = False,
 ) -> Dict[str, str]:
     """The full ALIGN => PREDICT => BIN => SUMMARIZE chain.
 
     When `alignments_file` is given the external-aligner stage is skipped
     (equivalent to restarting from sample.alignments.gz).
+
+    aligner_kind: "blast" (blastn/blastp, binning-blast*.bash) or "last"
+    (lastal -f 1 -X 3 -e 40 with query sharding, binning-last.bash).
+
+    orf_call: protein pipeline gene-calling stage — the DNA input is
+    ORF-called into sample.faa (real orfm when installed, built-in caller
+    otherwise) which becomes the query set; the binner's default
+    `([^_]+)_.*` regex globs ORFs back to contigs
+    (reference: binning-blast-protein.bash:84,119).
     """
+    if aligner_kind == "last" and protein:
+        raise TaxtkError("the LAST pipeline is nucleotide-only")
     refpack = Refpack(refpack_dir, protein=protein)
     os.makedirs(outdir, exist_ok=True)
     tax = refpack.load_taxonomy()
     tax_pruned = tax.prune_to_marked_ranks(DEFAULT_RANKS)
     mapping = load_seqid_taxid_mapping(refpack.mapping)
+
+    # stage 0 (protein): ORF calling (binning-blast-protein.bash:84)
+    orf_tool = None
+    if orf_call:
+        if not protein:
+            raise TaxtkError("ORF calling requires the protein pipeline")
+        from .orf import call_orfs_file
+
+        faa = os.path.join(outdir, SAMPLE_NAME + ".faa")
+        orf_tool = call_orfs_file(input_fasta, faa)
+        input_fasta = faa
 
     # stage 1: candidate alignments
     aln_path = os.path.join(outdir, SAMPLE_NAME + ".alignments.gz")
@@ -148,7 +247,12 @@ def run_binning_workflow(
             shutil.copyfileobj(src, dst)
     else:
         tmp = os.path.join(outdir, SAMPLE_NAME + ".alignments.tmp")
-        run_aligner_blast(refpack, input_fasta, tmp, cores=cores)
+        if aligner_kind == "last":
+            if protein:
+                raise TaxtkError("the LAST pipeline is nucleotide-only")
+            run_aligner_last(refpack, input_fasta, tmp, cores=cores)
+        else:
+            run_aligner_blast(refpack, input_fasta, tmp, cores=cores)
         with open(tmp) as src, gzip.open(aln_path, "wt") as dst:
             shutil.copyfileobj(src, dst)
         os.unlink(tmp)
@@ -220,4 +324,6 @@ def run_binning_workflow(
     # stage 4: summaries
     paths = binning_to_summary(tax_pruned, binning_path, SAMPLE_NAME, outdir)
     paths.update(alignments=aln_path, gff3=gff3_path, binning=binning_path)
+    if orf_tool is not None:
+        paths.update(orfs=input_fasta, orf_tool=orf_tool)
     return paths
