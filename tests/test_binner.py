@@ -107,6 +107,29 @@ class TestRunBinner:
         assert c1.split("\t")[1] == "211111"
         assert c1.split("\t")[3] == "1200"
 
+    def test_bioboxes_reader_roundtrip(self, tax):
+        """Writer -> BioboxesReader round trip (reference parser semantics,
+        bioboxes.hh:104-209): header variables, custom column indices,
+        body values."""
+        from taxtk.formats.bioboxes import BioboxesReader
+
+        out = io.StringIO()
+        run_binner(
+            tax, [io.StringIO(GFF3_INPUT)], out, sample_identifier="rt"
+        )
+        reader = BioboxesReader(io.StringIO(out.getvalue()))
+        assert reader.header_variables["@Version"] == "0.9.1"
+        assert reader.header_variables["@SampleID"] == "rt"
+        assert reader.header_variables["@TaxonomyID"] == "deadbeef"
+        assert reader.columns[0] == "SequenceID"
+        assert reader.index_support == 2 and reader.index_length == 3
+        rows = list(reader)
+        assert sorted(r.seqid for r in rows) == ["contig1", "contig2"]
+        by_id = {r.seqid: r for r in rows}
+        assert by_id["contig2"].taxid == "22111"
+        assert by_id["contig2"].length(reader) == 300
+        assert by_id["contig1"].support(reader) > 0
+
     def test_identity_constraint(self, tax, capsys):
         out = io.StringIO()
         run_binner(

@@ -74,3 +74,82 @@ def test_protein_golden_pallas_kernel():
         assert int(got["mutual"][i]) == mutual, (a, b)
         assert (int(got["matches"][i]), int(got["mismatches"][i]),
                 int(got["gaps"][i])) == (ma, mi, ga), (a, b)
+
+
+# ---------------------------------------------------------------- round 2
+# 3500-pair corpus (tests/tools/gen_golden.py): long DNA to 4 kbp, heavy
+# length asymmetry (segment-extension shape), revcomp-structured pairs,
+# N/X saturation, identical pairs, gap-dominated + long proteins.  The
+# PRODUCTION batched kernels run the whole corpus (bucketed), not a sample.
+FIXTURES_R2 = pathlib.Path(__file__).parent / "fixtures" / "seqan_golden_r2.tsv"
+
+
+def _load_r2(kind):
+    rows = []
+    for line in FIXTURES_R2.read_text().splitlines():
+        if line.startswith("#"):
+            continue
+        t, a, b, vals = line.split("\t")
+        if t == kind:
+            rows.append((a, b, vals))
+    return rows
+
+
+def test_dna_golden_r2_batched_kernel():
+    """Full r2 DNA corpus through the batched Myers engine service."""
+    from taxtk.engine.aligner import BatchAligner
+
+    rows = _load_r2("dna")
+    assert len(rows) >= 1500
+    pairs = [(encode_dna(a), encode_dna(b)) for a, b, _ in rows]
+    values = BatchAligner("dna", dna_backend="myers").align_pairs(pairs)
+    for (a, b, vals), got in zip(rows, values):
+        assert int(got.distance) == int(vals), (a, b)
+
+
+def test_protein_golden_r2_batched_kernel():
+    """Full r2 protein corpus through the batched wavefront kernel,
+    including the reference's exact float32 distance normalization
+    (taxonpredictionmodelsequence.hh:228-233)."""
+    from taxtk.ops.protein_align import batched_protein_align
+
+    rows = _load_r2("prot")
+    assert len(rows) >= 1500
+    # bucket by pow2 of max length to bound padding work
+    buckets = {}
+    for i, (a, b, vals) in enumerate(rows):
+        L = 1
+        while L < max(len(a), len(b)):
+            L <<= 1
+        buckets.setdefault(L, []).append(i)
+    for L, idxs in buckets.items():
+        B = len(idxs)
+        ac = np.zeros((B, L), np.uint8)
+        bc = np.zeros((B, L), np.uint8)
+        al = np.zeros(B, np.int32)
+        bl = np.zeros(B, np.int32)
+        for r, i in enumerate(idxs):
+            a, b, _ = rows[i]
+            ea, eb = encode_protein(a), encode_protein(b)
+            ac[r, : len(ea)] = ea
+            bc[r, : len(eb)] = eb
+            al[r], bl[r] = len(ea), len(eb)
+        got = batched_protein_align(ac, bc, al, bl)
+        for r, i in enumerate(idxs):
+            a, b, vals = rows[i]
+            self_, mutual, ma, mi, ga = map(int, vals.split(","))
+            assert int(got["selfscore"][r]) == self_, (a, b)
+            assert int(got["mutual"][r]) == mutual, (a, b)
+            assert (
+                int(got["matches"][r]),
+                int(got["mismatches"][r]),
+                int(got["gaps"][r]),
+            ) == (ma, mi, ga), (a, b)
+            if self_ > 0:
+                # replay the reference float32 normalization bit-for-bit
+                length = np.int64(ma + mi + ga)
+                nf = np.float32(length) / np.float32(self_)
+                exp_d = np.float32(np.int64(self_) - 2 * np.int64(mutual)) * nf
+                exp_s = np.float32(2 * np.int64(mutual)) * nf
+                assert np.float32(got["distance"][r]) == exp_d, (a, b)
+                assert np.float32(got["similarity"][r]) == exp_s, (a, b)
