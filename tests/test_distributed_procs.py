@@ -1,4 +1,4 @@
-"""REAL multi-process distributed run: two OS processes join a
+"""REAL multi-process distributed run: N OS processes (2 and 4) join a
 jax.distributed group (CPU backend), classify disjoint host shards of
 the same workload, and the merged GFF3 equals a single-process run —
 the reference's split-files workflow (README.md FAQ#9-10) as a tested
@@ -21,16 +21,17 @@ def _free_port():
     return port
 
 
-def test_two_process_jax_distributed_matches_single(tmp_path):
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_jax_distributed_matches_single(tmp_path, nprocs):
     workdir = str(tmp_path)
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "tools", "dist_worker.py")
     procs = []
-    for pid in range(2):
+    for pid in range(nprocs):
         env = {
             **os.environ,
             "TAXTK_COORDINATOR": f"127.0.0.1:{port}",
-            "TAXTK_NUM_PROCESSES": "2",
+            "TAXTK_NUM_PROCESSES": str(nprocs),
             "TAXTK_PROCESS_ID": str(pid),
             "JAX_PLATFORMS": "cpu",
         }
@@ -71,7 +72,8 @@ def test_two_process_jax_distributed_matches_single(tmp_path):
 
     merged = os.path.join(workdir, "merged.gff3")
     merge_gff3_parts(
-        [os.path.join(workdir, f"w{p}", f"part.{p}.gff3") for p in range(2)],
+        [os.path.join(workdir, f"w{p}", f"part.{p}.gff3")
+         for p in range(nprocs)],
         merged,
     )
     got = open(merged).read()
