@@ -74,6 +74,10 @@ def run_procs(n, per_proc, length, rounds, workdir, timeout=600):
             "OMP_NUM_THREADS": "1",
             "OPENBLAS_NUM_THREADS": "1",
         }
+        # CPU-only children: keep the axon sitecustomize from registering
+        # the remote TPU backend (its device-claim handshake can block
+        # behind another process's tunnel session)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         cmd = [sys.executable, worker, workdir, str(per_proc), str(length),
                str(rounds)]
         if taskset:

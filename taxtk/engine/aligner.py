@@ -400,10 +400,12 @@ class BatchAligner:
                 lendiff = np.abs(a_len - b_len)
                 mismatches = dist - lendiff
                 matches = np.minimum(a_len, b_len) - mismatches
+                # pre-cast once; indexing a float32 array yields np.float32
+                # scalars, so no per-pair cast calls in the hot loop
+                dist32 = np.asarray(dist).astype(np.float32)
+                matches32 = matches.astype(np.float32)
                 for r, k in enumerate(idxs):
-                    results[k] = AlignValue(
-                        distance=f32(dist[r]), similarity=f32(matches[r])
-                    )
+                    results[k] = AlignValue(dist32[r], matches32[r])
 
             def fallback_dna(a_codes=a_codes, b_codes=b_codes,
                              a_len=a_len, b_len=b_len):
@@ -452,11 +454,10 @@ class BatchAligner:
                     finishers.append(pending)
         else:
             def fill_protein(out, idxs=idxs):
+                dist = out["distance"]  # already float32 (post() math)
+                sim = out["similarity"]
                 for r, k in enumerate(idxs):
-                    results[k] = AlignValue(
-                        distance=f32(out["distance"][r]),
-                        similarity=f32(out["similarity"][r]),
-                    )
+                    results[k] = AlignValue(dist[r], sim[r])
 
             def fallback_protein(a_codes=a_codes, b_codes=b_codes,
                                  a_len=a_len, b_len=b_len):

@@ -50,7 +50,7 @@ INT_MAX_AS_F32 = f32(2147483647)
 PairKey = Tuple[str, int, int]
 
 
-@dataclass
+@dataclass(slots=True)
 class AlignValue:
     distance: f32
     similarity: f32

@@ -10,19 +10,42 @@ left-rotate, and the window itself advances with a fixed right-rotate —
 Mosaic rejects unaligned dynamic slices and lowers dynamic-distance
 rotates poorly.
 
-Two kernel-v2 optimizations over the first (27-term masked-MAC) version:
+Kernel v4: **virtual boundaries.**  Earlier versions stored the DP
+boundary row (pattern position 0) in lane 0, which forced the lane extent
+to round_up(M+1, 128) — for the engine's pow2 square buckets that meant a
+whole wasted 128-lane chunk (M=256 -> 384 lanes) and proportionally more
+steps.  v4 maps lane j to pattern position j+1 and synthesizes both DP
+boundaries on the fly:
+
+* the pattern-side boundary row enters through the lane-0 shift-in fills
+  (the vertical predecessor fill at step d is gap*(d-1); the carried
+  shifted diagonal reuses the previous step's fill, which is exactly the
+  diagonal predecessor's boundary value), and
+* the text-side boundary column (cell (i, 0) = gap*i) is written at lane
+  d-1 on step d, where it seeds the next step's horizontal predecessor.
+
+Lane extent drops to round_up(M, 128) and the step count to M+N-1
+(measured 2.2x on v5e at the canonical 512x256x256 launch,
+benchmarks/probe_protein_chain.py).  Carried over from v2/v3:
 
 * **4-bit packed profile.**  BLOSUM62 values fit [-4, 11], so each
   per-position profile entry packs into 4 bits (bias +4).  The 27 residue
   planes collapse into 4 int32 planes of 8 nibbles each; the substitution
   score is extracted with one variable vector shift + mask instead of a
-  27-way masked multiply-accumulate (≈13 vector ops vs ≈81), and profile
-  VMEM shrinks 6.75x, which lets the sublane tile grow.
+  27-way masked multiply-accumulate.
 
 * **Packed stat state.**  The match-count and diagonal-step-count
   wavefronts always select the same traceback arm, so they ride ONE int32
-  carry (dc in the high 16 bits, matches in the low 16): 11 register
-  carries drop to 8 and one lane-rotate per step disappears.
+  carry (dc in the high 16 bits, matches in the low 16).
+
+* **Freeze-at-target** (v3): past each pair's final anti-diagonal the
+  score/stat wavefronts stop updating instead of being copied to result
+  carries — two fewer loop carries keeps Mosaic on the register-resident
+  fast path (benchmarks/probe_protein_ablate.py).
+
+v4 also computes the per-pair BLOSUM self-scores on device (a table
+gather + masked sum over the already-shipped uint8 code arrays), so the
+host post-processing is O(B) and the D2H readback is one [3, B] vector.
 
 Semantics identical to protein_align._protein_kernel (SeqAn tie-break:
 diagonal > consume-B > consume-A); tested equal in interpret mode and on
@@ -50,35 +73,35 @@ LANE = 128
 _DC_ONE = np.int32(1 << 16)  # packed stats: dc in high 16 bits, ma in low
 
 
-def _make_kernel(SUB: int, Mp1: int, steps: int):
+def _make_kernel(SUB: int, Mp: int, steps_end: int):
     gap = int(GAP_SCORE)
 
     def kernel(prof_ref, acode_ref, fwd_ref, tgt_ref, s_out, madc_out,
-               i0_ref, i1_ref):
-        col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp1), 1)
-        target_d = tgt_ref[:]  # [SUB, Mp1] (row-constant)
-
-        def shift_right(x, fill):
-            r = pltpu.roll(x, 1, axis=1)
-            return jnp.where(col == 0, fill, r)
+               i0_ref, i1_ref, i2_ref):
+        col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp), 1)
+        target_d = tgt_ref[:]  # [SUB, Mp] (row-constant)
 
         # materialize the init diagonals through VMEM scratch so every loop
         # carry starts with a concrete (non-replicated) vector layout —
         # constant-folded inits trip a Mosaic relayout error otherwise
-        i0_ref[:] = jnp.where(col == 0, 0, _NEG)
-        i1_ref[:] = jnp.zeros((SUB, Mp1), jnp.int32)
+        i0_ref[:] = jnp.where(col == 0, gap, _NEG)  # s after step d=1: (1,0)
+        i1_ref[:] = jnp.zeros((SUB, Mp), jnp.int32)
+        i2_ref[:] = jnp.where(col == 0, 0, _NEG)  # shifted d=0 diag: (0,0)=0
         s0 = i0_ref[:]
         zero = i1_ref[:]
+        sh0 = i2_ref[:]
         acode = acode_ref[:]
         pw = [prof_ref[w] for w in range(_NWORDS)]
 
         def body(d, carry):
             # sh_* carry the SHIFTED previous diagonals: the value shifted at
-            # step d-1 for v_val is exactly the diagonal-shift (pp_s) needed
-            # at step d, halving the expensive lane-rotate count
+            # step d-1 for v_val is exactly the diagonal-shift needed at step
+            # d (including its lane-0 boundary fill gap*(d-2)), halving the
+            # expensive lane-rotate count
             (s_prev, madc_prev, sh_s, sh_madc, bx, buf) = carry
-            # sliding text window, all-static lane shifts (see module doc)
-            k = d - 1
+            # sliding text window, all-static lane shifts (see module doc);
+            # lane j consumes text char b[d-2-j] at step d
+            k = d - 2
             base = pl.multiple_of((k // 128) * 128, 128)
             window = fwd_ref[:, pl.ds(base, 128)]
             # left-rotate by one == right-rotate by 127 (shift must be >= 0)
@@ -98,12 +121,14 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             sub = jnp.where(valid, nib - _BIAS, _NEG)
             is_match = ((acode == bx) & valid).astype(jnp.int32)
 
-            s_pp_s = sh_s
-            madc_pp_s = sh_madc
-            s_prev_s = shift_right(s_prev, _NEG)
-            madc_prev_s = shift_right(madc_prev, 0)
+            # vertical predecessor (consume an A char): lane-0 fill is the
+            # pattern-boundary cell (0, d-1) = gap*(d-1)
+            s_prev_s = jnp.where(col == 0, gap * (d - 1),
+                                 pltpu.roll(s_prev, 1, axis=1))
+            madc_prev_s = jnp.where(col == 0, 0,
+                                    pltpu.roll(madc_prev, 1, axis=1))
 
-            d_val = s_pp_s + sub
+            d_val = sh_s + sub
             v_val = s_prev_s + gap  # consume A char, gap column in B
             h_val = s_prev + gap  # consume B char, gap column in A
             best = jnp.maximum(jnp.maximum(d_val, v_val), h_val)
@@ -113,13 +138,15 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             new_s = best
             new_madc = jnp.where(
                 take_d,
-                madc_pp_s + is_match + _DC_ONE,
+                sh_madc + is_match + _DC_ONE,
                 jnp.where(take_h, madc_prev, madc_prev_s),
             )
 
-            on_edge = (col == 0) | (col == d)
-            new_s = jnp.where(on_edge, gap * d, new_s)
-            new_madc = jnp.where(on_edge, 0, new_madc)
+            # text-side boundary: cell (d, 0) = gap*d lives at lane d-1 and
+            # seeds the next step's horizontal predecessor
+            on_tb = col == (d - 1)
+            new_s = jnp.where(on_tb, gap * d, new_s)
+            new_madc = jnp.where(on_tb, 0, new_madc)
 
             # FREEZE past each pair's target diagonal instead of carrying
             # separate result tiles: two fewer loop carries keeps Mosaic on
@@ -131,61 +158,84 @@ def _make_kernel(SUB: int, Mp1: int, steps: int):
             new_madc = jnp.where(live, new_madc, madc_prev)
             return (new_s, new_madc, s_prev_s, madc_prev_s, bx, buf)
 
-        init = (s0, zero, zero, zero,
-                zero + 255,              # bx: all-sentinel before step 1
+        init = (s0, zero, sh0, zero,
+                zero + 255,              # bx: all-sentinel before step 2
                 zero[:, 0:128] + 255)    # refill buffer (overwritten at k=0)
-        # sh_* start at zero — step-1 cells are all boundary-overridden
-        out = jax.lax.fori_loop(1, steps, body, init)
+        out = jax.lax.fori_loop(2, steps_end + 1, body, init)
         s_out[:] = out[0]
         madc_out[:] = out[1]
 
     return kernel
 
 
+def _shapes(B, M, N, SUB):
+    """Derived launch shapes for a [B] x (M, N) bucket."""
+    Mp = _round_up(max(M, 1), LANE)
+    steps_end = Mp + max(N, 1)  # last anti-diagonal index (cells (Mp, N))
+    fwd_w = _round_up(steps_end, 128)
+    n_tiles = max(1, -(-B // SUB))
+    return Mp, steps_end, fwd_w, n_tiles
+
+
 @functools.partial(
-    jax.jit, static_argnames=("SUB", "Mp1", "steps", "fwd_w", "n_tiles", "interpret")
+    jax.jit, static_argnames=("SUB", "Mp", "steps_end", "fwd_w", "n_tiles",
+                              "interpret")
 )
-def _call(acode8, fwd8, ablen, alen, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
+def _call(acode8, fwd8, ablen, alen, SUB, Mp, steps_end, fwd_w, n_tiles,
+          interpret=False):
     """H2D ships only uint8 code arrays + per-pair lengths; the packed
     int32 profile (10x the bytes) is materialized ON DEVICE by a 27-entry
     table gather, and all int32 widening happens device-side."""
     acode = acode8.astype(jnp.int32)
     fwd = fwd8.astype(jnp.int32)
     packed = jnp.asarray(_PACKED)  # [NWORDS, AA_N]
-    prof = packed[:, jnp.minimum(acode, _AA_N - 1)]  # [NWORDS, Bp, Mp1]
+    prof = packed[:, jnp.minimum(acode, _AA_N - 1)]  # [NWORDS, Bp, Mp]
     tgt = jnp.broadcast_to(ablen[:, None], acode.shape).astype(jnp.int32)
     s, madc = _raw_call(
-        prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret
+        prof, acode, fwd, tgt, SUB, Mp, steps_end, fwd_w, n_tiles, interpret
     )
+    # per-pair BLOSUM self-scores, also on device: table gather + sum masked
+    # by the real lengths (callers may pad with any byte, incl. valid codes)
+    dtab = jnp.asarray(_DIAG)
+    blen = ablen - alen
+    mask_a = jax.lax.broadcasted_iota(jnp.int32, acode.shape, 1) < alen[:, None]
+    mask_b = jax.lax.broadcasted_iota(jnp.int32, fwd.shape, 1) < blen[:, None]
+    self_a = jnp.where(mask_a & (acode < _AA_N),
+                       jnp.take(dtab, jnp.minimum(acode, _AA_N - 1)), 0)
+    self_b = jnp.where(mask_b & (fwd < _AA_N),
+                       jnp.take(dtab, jnp.minimum(fwd, _AA_N - 1)), 0)
+    selfscore = self_a.sum(axis=1) + self_b.sum(axis=1)
     # harvest the answer lane on device AND stack: D2H shrinks from full
-    # rasters to ONE [2, B] transfer (the tunnel has ~170 ms fixed latency
-    # per readback)
-    idx = alen[:, None]
+    # rasters to ONE [3, B] transfer (the tunnel has ~170 ms fixed latency
+    # per readback).  The answer cell (alen, blen) sits at lane alen-1.
+    idx = jnp.maximum(alen - 1, 0)[:, None]
     pick = lambda arr: jnp.take_along_axis(arr, idx, axis=1)[:, 0]
-    return jnp.stack([pick(s), pick(madc)])
+    return jnp.stack([pick(s), pick(madc), selfscore])
 
 
-def _raw_call(prof, acode, fwd, tgt, SUB, Mp1, steps, fwd_w, n_tiles, interpret=False):
-    kernel = _make_kernel(SUB, Mp1, steps)
-    shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp1), jnp.int32)
+def _raw_call(prof, acode, fwd, tgt, SUB, Mp, steps_end, fwd_w, n_tiles,
+              interpret=False):
+    kernel = _make_kernel(SUB, Mp, steps_end)
+    shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp), jnp.int32)
     return pl.pallas_call(
         kernel,
         out_shape=(shape, shape),
         grid=(n_tiles,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((_NWORDS, SUB, Mp1), lambda p: (0, p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NWORDS, SUB, Mp), lambda p: (0, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, fwd_w), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, Mp1), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((SUB, Mp1), jnp.int32),
-            pltpu.VMEM((SUB, Mp1), jnp.int32),
+            pltpu.VMEM((SUB, Mp), jnp.int32),
+            pltpu.VMEM((SUB, Mp), jnp.int32),
+            pltpu.VMEM((SUB, Mp), jnp.int32),
         ],
     )(prof, acode, fwd, tgt)
 
@@ -205,6 +255,7 @@ def _packed_table():
 
 
 _PACKED = _packed_table()
+_DIAG = np.ascontiguousarray(np.diag(BLOSUM62)).astype(np.int32)
 
 
 def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
@@ -224,17 +275,14 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     N = b_codes.shape[1]
 
     SUB = sub_tile
-    Mp1 = _round_up(M + 1, LANE)
-    Npad = _round_up(max(N, 1), LANE)
-    steps = Mp1 + Npad
-    fwd_w = _round_up(steps, 128)
-    n_tiles = max(1, -(-B // SUB))
+    Mp, steps_end, fwd_w, n_tiles = _shapes(B, M, N, SUB)
     Bp = n_tiles * SUB
 
-    # uint8 host arrays only — profile/widening happen on device (_call)
-    acode = np.full((Bp, Mp1), 255, np.uint8)
-    acode[:B, 1 : M + 1] = a_codes
-    # forward text stream: the char consumed at step d is fwd[d-1] = b[d-1]
+    # uint8 host arrays only — profile/widening happen on device (_call);
+    # lane j holds pattern position j+1 (virtual boundaries, see module doc)
+    acode = np.full((Bp, Mp), 255, np.uint8)
+    acode[:B, 0:M] = a_codes
+    # forward text stream: the char consumed at lane 0 on step d is b[d-2]
     fwd = np.full((Bp, fwd_w), 255, np.uint8)
     fwd[:B, :N] = b_codes
     ablen = np.ones(Bp, np.int32)
@@ -248,8 +296,8 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
         jnp.asarray(ablen),
         jnp.asarray(alen_p),
         SUB,
-        Mp1,
-        steps,
+        Mp,
+        steps_end,
         fwd_w,
         n_tiles,
         interpret,
@@ -258,6 +306,7 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
         st = np.asarray(st)
         mutual = st[0, :B]
         madc = st[1, :B]
+        selfscore = st[2, :B].astype(np.int64)
         matches = madc & 0xFFFF
         diag = madc >> 16
         # empty-side pairs
@@ -269,16 +318,6 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
         mismatches = diag - matches
         gaps = a_len + b_len - 2 * diag
         length = matches + mismatches + gaps
-        diag_scores = np.diag(BLOSUM62)
-        mask_a = np.arange(M)[None, :] < a_len[:, None]
-        mask_b = np.arange(b_codes.shape[1])[None, :] < b_len[:, None]
-        self_a = np.where(
-            mask_a, diag_scores[np.minimum(a_codes, _AA_N - 1)], 0
-        ).sum(axis=1)
-        self_b = np.where(
-            mask_b, diag_scores[np.minimum(b_codes, _AA_N - 1)], 0
-        ).sum(axis=1)
-        selfscore = (self_a + self_b).astype(np.int64)
         with np.errstate(divide="ignore", invalid="ignore"):
             normfactor = np.where(
                 selfscore != 0,

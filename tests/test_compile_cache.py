@@ -48,6 +48,10 @@ WORKER = textwrap.dedent(
 def _run(cache_dir):
     env = {**os.environ, "TAXTK_JAX_CACHE": str(cache_dir),
            "JAX_PLATFORMS": "cpu"}
+    # this test is CPU-only: keep the axon sitecustomize from registering
+    # the remote TPU backend in the child, whose device-claim handshake can
+    # block behind the parent's tunnel session
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run([sys.executable, "-c", WORKER], env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]

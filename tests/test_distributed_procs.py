@@ -35,6 +35,10 @@ def test_multi_process_jax_distributed_matches_single(tmp_path, nprocs):
             "TAXTK_PROCESS_ID": str(pid),
             "JAX_PLATFORMS": "cpu",
         }
+        # CPU-only children: keep the axon sitecustomize from registering
+        # the remote TPU backend (its device-claim handshake can block
+        # behind another process's tunnel session)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         d = os.path.join(workdir, f"w{pid}")
         os.makedirs(d)
         procs.append(
