@@ -78,6 +78,10 @@ class BatchAligner:
     see ops/myers_batch.py for the algorithmic comparison.
     """
 
+    # align_pairs(deferred=True) returns a finish() callable (the engine's
+    # macro-batch pipeline feature-detects this attribute)
+    supports_deferred = True
+
     def __init__(
         self,
         mode: str = "dna",
@@ -145,6 +149,7 @@ class BatchAligner:
         self,
         pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
         shard_ids: Optional[Sequence[int]] = None,
+        deferred: bool = False,
     ) -> List[AlignValue]:
         """pairs: list of (a_codes, b_codes) uint8 arrays (A = first argument
         of the reference getAlignment call — order matters for protein).
@@ -152,7 +157,12 @@ class BatchAligner:
         shard_ids: optional tp-shard assignment per pair (the refpack shard
         owning the pair's reference segment); with a mesh backend attached,
         DNA pairs then run as ONE tp×dp-sharded SPMD launch instead of the
-        single-device bucket ladder."""
+        single-device bucket ladder.
+
+        deferred=True dispatches all device work and returns a zero-arg
+        finish() callable that blocks on the readbacks and returns the
+        results list (used by the macro-batch pipeline to overlap this
+        round's device wait with another batch's host replay)."""
         results: List[AlignValue] = [None] * len(pairs)  # type: ignore
 
         # degenerate pairs resolved on host; very long DNA patterns (peq
@@ -276,32 +286,49 @@ class BatchAligner:
             for off in range(0, len(idxs), max_pairs):
                 chunk = idxs[off : off + max_pairs]
                 self._run_bucket(pairs, chunk, M, N, results, finishers)
-        t0 = _time.time()
-        # ONE scalar device-side sync flushes the remote service's work
-        # quanta for every dispatched bucket; the per-bucket asarrays in
-        # the finishers are then ~free (their copy_to_host_async copies
-        # have landed).  Without this, each finisher's readback pays the
-        # ~0.77s sync quantum by itself.
-        devs = [f.dev for f in finishers if isinstance(f, _DevPending)]
-        if devs:
-            try:
-                import jax.numpy as jnp
+        def finish():
+            t0 = _time.time()
+            # Wait for every dispatched bucket WITHOUT a readback: polling
+            # is_ready() is a local future check, so the wait costs no
+            # tunnel round-trip (the per-bucket copy_to_host_async copies
+            # were started at dispatch and land during the same window).
+            # The old flush (float of a stacked sum) paid one extra D2H
+            # round-trip (~0.1 s through the tunnel) per align round.
+            devs = [f.dev for f in finishers if isinstance(f, _DevPending)]
+            if devs:
+                try:
+                    pending = list(devs)
+                    while pending:
+                        pending = [d for d in pending if not d.is_ready()]
+                        if pending:
+                            _time.sleep(0.002)
+                except Exception:  # pragma: no cover - device-specific
+                    # fall back to the scalar flush sync
+                    try:
+                        import jax.numpy as jnp
 
-                float(jnp.stack([jnp.sum(d) for d in devs]).sum())
-            except Exception:  # pragma: no cover - device-specific
-                pass
-        self._tick("device_wait", t0)
-        t0 = _time.time()
-        for fin in finishers:
-            if isinstance(fin, _DevPending):
-                fin.run(self)
-            else:
-                fin()
-        self._tick("collect", t0)
-        if host_thread is not None:
-            host_thread.join()
-        self.pairs_aligned += len(pairs)
-        return results
+                        float(jnp.stack([jnp.sum(d) for d in devs]).sum())
+                    except Exception:
+                        pass
+            self._tick("device_wait", t0)
+            t0 = _time.time()
+            for fin in finishers:
+                if isinstance(fin, _DevPending):
+                    fin.run(self)
+                else:
+                    fin()
+            self._tick("collect", t0)
+            if host_thread is not None:
+                host_thread.join()
+            self.pairs_aligned += len(pairs)
+            return results
+
+        if deferred:
+            # everything is dispatched; the caller decides when to block
+            # (RpaEngine overlaps this wait with another macro-batch's host
+            # replay, engine/executor.py)
+            return finish
+        return finish()
 
     def _dispatch_tpu_long(self, pairs, idxs_all, results, finishers):
         """Long-pattern pairs through the pattern-block-chunked pallas

@@ -97,6 +97,18 @@ class SegmentCache:
         return self.segment(i), self.segment(j)
 
 
+def drive_sync(gen):
+    """Run a stage generator (see RpaEngine._stages) to completion inline:
+    each yielded device finish() is called immediately and its values sent
+    back.  Returns the generator's return value."""
+    try:
+        finish = next(gen)
+        while True:
+            finish = gen.send(finish())
+    except StopIteration as stop:
+        return stop.value
+
+
 class RpaEngine:
     def __init__(
         self,
@@ -112,13 +124,20 @@ class RpaEngine:
         mesh=None,
     ):
         if macro_batch is None:
-            # device rounds have fixed dispatch/readback latency: batch much
-            # larger on accelerators than on host backends
-            try:
-                import jax
+            import os
 
-                macro_batch = 8192 if jax.devices()[0].platform != "cpu" else 1024
-            except Exception:
+            env = os.environ.get("TAXTK_MACRO_BATCH")
+            if env:
+                macro_batch = int(env)
+            else:
+                # Batch large enough to amortize the per-round dispatch/
+                # readback latency, small enough that streams split into
+                # multiple batches and the depth-2 pipeline in run() overlaps
+                # one batch's device waits with the other's host replay.
+                # Measured on the 2000-set protein e2e (readiness-poll
+                # flush): 2x1024 median 1460 Maa/h vs 1x2000 1340 vs 4x512
+                # 1270 — more batches help until the extra sync round-trips
+                # outgrow the host work available to hide them.
                 macro_batch = 1024
         self.tax = tax
         self.query_store = query_store
@@ -147,10 +166,21 @@ class RpaEngine:
         """Stream record sets -> GFF3 on `out` (serial-mode byte parity:
         single persistent PredictionRecord, see models/rpa.py quirk notes).
 
-        The next macro-batch is parsed on a background thread while the
-        current one runs its device rounds (the analog of the reference's
-        producer thread, taxator.cpp:100-122, with the batch as the unit)."""
+        Two-level overlap (the TPU-native analog of the reference's
+        producer/consumer pool, taxator.cpp:100-122, with the macro-batch
+        as the unit):
+
+        * the next macro-batch is parsed on a background thread while the
+          current ones run, and
+        * up to two macro-batches are processed as a software PIPELINE —
+          each batch's device rounds (dispatch -> readback) run via
+          deferred aligner finishes on a waiter thread, so one batch's
+          device wait (kernel time + tunnel round-trip) hides behind the
+          other batch's host replay.  GFF3 emission stays input-ordered.
+        """
         import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         from queue import Queue
 
         out.write(GFF3_HEADER + "\n")
@@ -174,23 +204,77 @@ class RpaEngine:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            self._flush(item, prec, out)
+
+        class _Entry:
+            __slots__ = ("gen", "fut", "tasks")
+
+            def __init__(self, gen):
+                self.gen = gen
+                self.fut = None
+                self.tasks = None
+
+        def _advance(e: "_Entry") -> bool:
+            """Send the finished round's values into the generator and run
+            its host work up to the next device round (or completion).
+            Returns True while the entry still has device work in flight."""
+            values = e.fut.result() if e.fut is not None else None
+            e.fut = None
+            try:
+                finish = e.gen.send(values) if values is not None else next(e.gen)
+            except StopIteration as stop:
+                e.tasks = stop.value
+                return False
+            e.fut = waiter.submit(finish)
+            return True
+
+        active: "deque[_Entry]" = deque()
+        with ThreadPoolExecutor(1) as waiter:
+            done = False
+            while not done or active:
+                # emit leading completed batches (input order)
+                while active and active[0].tasks is not None:
+                    self._emit(active.popleft().tasks, prec, out)
+                # admit the next batch when there is pipeline room
+                if not done and len(active) < 2:
+                    item = q.get()
+                    if item is None:
+                        done = True
+                    elif isinstance(item, BaseException):
+                        raise item
+                    else:
+                        e = _Entry(self._stages(item))
+                        if _advance(e):  # prepare + dispatch round 0
+                            active.append(e)
+                        else:  # degenerate batch: no device rounds
+                            self._emit(e.tasks, prec, out)
+                    continue
+                # advance an entry whose device round has landed; if none,
+                # block on the oldest in-flight one (emission order anyway)
+                in_flight = [e for e in active if e.fut is not None]
+                if not in_flight:
+                    continue  # completed entries emit at loop top
+                target = next((e for e in in_flight if e.fut.done()),
+                              in_flight[0])
+                _advance(target)
         t.join()
 
-    def _flush(self, batch: List[list], prec: PredictionRecord, out) -> None:
-        for task in self.process_batch(batch):
+    def _emit(self, tasks: List[RpaTask], prec: PredictionRecord, out) -> None:
+        for task in tasks:
             task.fill_prediction(prec)
             out.write(prec.print_line() + "\n")
             if self.logsink is not None and task.log_lines:
                 self.logsink.write("\n".join(task.log_lines) + "\n")
 
     def process_batch(self, recordsets: List[list]) -> List[RpaTask]:
+        """Synchronous single-batch processing (pipeline depth 1)."""
+        return drive_sync(self._stages(recordsets))
+
+    def _stages(self, recordsets: List[list]):
+        """Generator over one macro-batch: yields a zero-arg device finish()
+        at each align round (the driver blocks on it — possibly on a waiter
+        thread — and sends the values list back in); returns the finished
+        tasks.  All host work (replay, fetch, dispatch) runs on the caller's
+        thread."""
         tasks = [
             RpaTask(self.tax, rs, self.exclude_factor, self.toppercent)
             for rs in recordsets
@@ -208,8 +292,7 @@ class RpaEngine:
 
         with m.stage("replay"):
             reqs = [t.prepare() for t in tasks]
-        with m.stage("align"):
-            self._align_round(tasks, caches, pair_caches, reqs)
+        yield from self._align_round(tasks, caches, pair_caches, reqs)
         merged_by_task: Dict[int, dict] = {}
         if self.mesh_backend is not None:
             with m.stage("merge"):
@@ -221,15 +304,13 @@ class RpaEngine:
                 else []
                 for ti, (t, pc) in enumerate(zip(tasks, pair_caches))
             ]
-        with m.stage("align"):
-            self._align_round(tasks, caches, pair_caches, reqs)
+        yield from self._align_round(tasks, caches, pair_caches, reqs)
         with m.stage("replay"):
             reqs = [
                 t.replay_pass1(pc) if t.result is None else []
                 for t, pc in zip(tasks, pair_caches)
             ]
-        with m.stage("align"):
-            self._align_round(tasks, caches, pair_caches, reqs)
+        yield from self._align_round(tasks, caches, pair_caches, reqs)
         with m.stage("replay"):
             for t, pc in zip(tasks, pair_caches):
                 if t.result is None:
@@ -237,7 +318,10 @@ class RpaEngine:
         m.pairs = self.aligner.pairs_aligned
         return tasks
 
-    def _align_round(self, tasks, caches, pair_caches, reqs_per_task) -> None:
+    def _align_round(self, tasks, caches, pair_caches, reqs_per_task):
+        """Sub-generator: fetch + dispatch this round's new pairs, yield the
+        aligner's deferred finish() (the driver sends the values back), then
+        fill the pair caches."""
         flat: List[Tuple[int, PairKey]] = []
         for ti, reqs in enumerate(reqs_per_task):
             seen = pair_caches[ti]
@@ -263,9 +347,23 @@ class RpaEngine:
                 )
                 for ti, key in flat
             ]
-        values = self.aligner.align_pairs(pairs, shard_ids=shard_ids)
+        with self.metrics.stage("align"):
+            if getattr(self.aligner, "supports_deferred", False):
+                finish = self.aligner.align_pairs(
+                    pairs, shard_ids=shard_ids, deferred=True
+                )
+            else:  # test stubs / simple aligners: resolve inline
+                vals = self.aligner.align_pairs(pairs, shard_ids=shard_ids)
+                finish = lambda: vals  # noqa: E731
+        values = yield finish
         for (ti, key), val in zip(flat, values):
             pair_caches[ti][key] = val
+            if key[0] == "s":
+                # AlignValue is symmetric in the pair (edit distance and the
+                # normalized protein distance/similarity are both invariant
+                # under operand swap), so one computation serves both key
+                # orders — replay passes look pairs up in anchor order
+                pair_caches[ti].setdefault((key[0], key[2], key[1]), val)
 
     def _pass0_collective_merge(self, tasks, pair_caches) -> Dict[int, dict]:
         """Assemble the per-record candidate tables (sharded over tp by the
@@ -296,15 +394,23 @@ class RpaEngine:
         the store's native batched fetcher when available."""
         if not hasattr(self.db_store, "fetch_encode_batch"):
             return
-        by_task: Dict[int, List[PairKey]] = {}
-        for ti, key in flat:
-            by_task.setdefault(ti, []).append(key)
         specs = []
         owners: List[Tuple[int, int]] = []
-        for ti, keys in by_task.items():
-            for i in caches[ti].missing_segments(keys):
-                specs.append(caches[ti].segment_spec(i))
-                owners.append((ti, i))
+        seen = set()
+        for ti, (kind, i, j) in flat:
+            segs = caches[ti]._segments
+            if i not in segs:
+                k = (ti, i)
+                if k not in seen:
+                    seen.add(k)
+                    specs.append(caches[ti].segment_spec(i))
+                    owners.append(k)
+            if kind == "s" and j not in segs:
+                k = (ti, j)
+                if k not in seen:
+                    seen.add(k)
+                    specs.append(caches[ti].segment_spec(j))
+                    owners.append(k)
         if not specs:
             return
         arrays = self.db_store.fetch_encode_batch(specs, protein=self.protein)

@@ -49,6 +49,17 @@ INT_MAX_AS_F32 = f32(2147483647)
 #               ("s", i, j) = segment_i vs segment_j (ordered!)
 PairKey = Tuple[str, int, int]
 
+# Record sets up to this size request the full segment-vs-segment pair
+# matrix in round 0, eliminating the pass-1/2 device rounds (see prepare()).
+# Default OFF: measured on the 2000-set protein e2e (v5e via tunnel), the
+# +40% alignment cells cost more than the two saved sync round-trips
+# (median 1044 vs 1316 Maa/h) — the symmetric-mirror cache alone already
+# removes the duplicated (j,i) work.  Worth revisiting on links with much
+# higher per-sync latency.
+import os as _os
+
+EAGER_ALL_PAIRS_MAX_N = int(_os.environ.get("TAXTK_EAGER_N", "0"))
+
 
 @dataclass(slots=True)
 class AlignValue:
@@ -267,6 +278,19 @@ class RpaTask:
             self._pass0_aligned.append(aligned)
             if aligned:
                 reqs.append(("q", i, -1))
+        # EAGER all-pairs superset: for small record sets, also request every
+        # segment-vs-segment pair up front.  Passes 1-2 then find all their
+        # distances already cached and contribute NO device rounds, cutting
+        # the per-batch sync count from 3 to 1 (supersets are safe — the
+        # replay only reads the distances it would have requested; AlignValue
+        # is symmetric in the pair, so (i,j) serves (j,i), see
+        # executor._align_round's mirror fill).  n*(n-1)/2 extra pairs is a
+        # good trade only while n is small; the reference's sequential
+        # pass-1/2 loops align O(n) per anchor (hh:576-733).
+        if n <= EAGER_ALL_PAIRS_MAX_N:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    reqs.append(("s", i, j))
         return reqs
 
     # ------------------------------------------------------------------ phase B
@@ -436,7 +460,8 @@ class RpaTask:
             ldist = f32(0.0)
             udist = FLT_MAX
             outgroup_tmp: List[Tuple[int, int]] = []  # (index, int-dist) (:592)
-            self._log(f"      query: ({self._f2(qdist)}) unknown")
+            if self.logging:
+                self._log(f"      query: ({self._f2(qdist)}) unknown")
             self.counters["p1n"] += n - 1
 
             qpid_upper = 0.0
@@ -490,11 +515,12 @@ class RpaTask:
                             lnode = self._lca(lnode, cnode)
                             if dist > ldist:
                                 ldist = dist
-                            self._log(
-                                f"      current lower node: ({self._f2(dist)}) "
-                                f"{self._name(lnode)} (+ {self._name(cnode)} at "
-                                f"{int(self.tax.depth[self._lca(cnode, rnode)])} )"
-                            )
+                            if self.logging:
+                                self._log(
+                                    f"      current lower node: ({self._f2(dist)}) "
+                                    f"{self._name(lnode)} (+ {self._name(cnode)} at "
+                                    f"{int(self.tax.depth[self._lca(cnode, rnode)])} )"
+                                )
                         else:
                             if dist < udist:
                                 udist = dist
@@ -514,11 +540,12 @@ class RpaTask:
             bandfactor = self._band_factor(band_data, rnode)
             bandfactor_max = max(bandfactor_max, bandfactor)
             qdist_ex = f32(qdist * bandfactor)
-            self._log("")
-            self._log(
-                f"    EXT\tquerydist = {self._f2(qdist)}; threshold = "
-                f"{self._f2(qdist_ex)}; bandfactor = {self._f2(bandfactor)}"
-            )
+            if self.logging:
+                self._log("")
+                self._log(
+                    f"    EXT\tquerydist = {self._f2(qdist)}; threshold = "
+                    f"{self._f2(qdist_ex)}; bandfactor = {self._f2(bandfactor)}"
+                )
             min_upper_dist = INT_MAX_AS_F32  # quirk: INT_MAX, not FLT_MAX (:670)
 
             # outgroup curation (:673-687)
@@ -546,11 +573,12 @@ class RpaTask:
                 if dist > min_upper_dist:
                     continue
                 unode = self._lca(cnode, unode)
-                self._log(
-                    f"      current upper node: ({self._f2(dist)}) "
-                    f"{self._name(unode)} (+ {self._name(cnode)} at "
-                    f"{int(self.tax.depth[self._lca(cnode, rnode)])} )"
-                )
+                if self.logging:
+                    self._log(
+                        f"      current upper node: ({self._f2(dist)}) "
+                        f"{self._name(unode)} (+ {self._name(cnode)} at "
+                        f"{int(self.tax.depth[self._lca(cnode, rnode)])} )"
+                    )
                 lca_root_dist = int(self.tax.depth[self._lca(cnode, self.rtax)])
                 if lca_root_dist > lca_root_dist_min:
                     continue
@@ -564,13 +592,14 @@ class RpaTask:
             ival = f32(0.0)
             if unode != lnode and ldist < qdist:
                 ival = f32((qdist - ldist) / f32(udist - ldist))
-            self._log("")
-            self._log(
-                f"    SCORE\tldist = {self._f2(ldist)}; udist = {self._f2(udist)}; "
-                f"querydist = {self._f2(qdist)}; querydist_ex = {self._f2(qdist_ex)}; "
-                f"ival = {self._f2(ival)}"
-            )
-            self._log("")
+            if self.logging:
+                self._log("")
+                self._log(
+                    f"    SCORE\tldist = {self._f2(ldist)}; udist = {self._f2(udist)}; "
+                    f"querydist = {self._f2(qdist)}; querydist_ex = {self._f2(qdist_ex)}; "
+                    f"ival = {self._f2(ival)}"
+                )
+                self._log("")
 
             ival_global = max(ival, ival_global)
             unode_global = self._lca(unode_global, unode)
@@ -714,11 +743,12 @@ class RpaTask:
                             )
                         if dist <= qdist_ex:
                             unode_global = self._lca(unode_global, cnode)
-                            self._log(
-                                f"      current upper node: ({self._f2(dist)}) "
-                                f"{self._name(unode_global)} (+ {self._name(cnode)} at "
-                                f"{int(self.tax.depth[self._lca(cnode, records[index_anchor].reference_node)])} )"
-                            )
+                            if self.logging:
+                                self._log(
+                                    f"      current upper node: ({self._f2(dist)}) "
+                                    f"{self._name(unode_global)} (+ {self._name(cnode)} at "
+                                    f"{int(self.tax.depth[self._lca(cnode, records[index_anchor].reference_node)])} )"
+                                )
                 i += 1
 
         self._log(

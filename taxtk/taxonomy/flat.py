@@ -150,13 +150,24 @@ class FlatTaxonomy:
     def lca_scalar(self, a: int, b: int) -> int:
         """Scalar LCA via the nested-set parent walk (the reference's own
         algorithm, taxonomyinterface.cpp:67-77) on plain Python ints —
-        ~50x faster than the vectorized path for single pairs."""
+        ~50x faster than the vectorized path for single pairs.  Memoized:
+        the RPA replay asks for the same node pairs constantly (bounded to
+        1M entries as a runaway guard)."""
+        cache = getattr(self, "_lca_cache", None)
+        if cache is None:
+            cache = self._lca_cache = {}
+        key = (a, b)
+        v = cache.get(key)
+        if v is not None:
+            return v
         left, right, parent = self._py_lists()
         left_min = min(left[a], right[b])
         right_max = max(right[a], right[b])
         n = a
         while left[n] > left_min or right[n] < right_max:
             n = parent[n]
+        if len(cache) < 1_000_000:
+            cache[key] = n
         return n
 
     def _py_lists(self):

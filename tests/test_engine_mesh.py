@@ -84,7 +84,9 @@ def test_pass0_merge_matches_host_reduction(tmp_path):
     ]
     pair_caches = [dict() for _ in tasks]
     reqs = [t.prepare() for t in tasks]
-    eng._align_round(tasks, caches, pair_caches, reqs)
+    from taxtk.engine.executor import drive_sync
+
+    drive_sync(eng._align_round(tasks, caches, pair_caches, reqs))
     merged = eng._pass0_collective_merge(tasks, pair_caches)
     assert merged  # at least one live task
 

@@ -33,7 +33,10 @@ class OracleAligner(BatchAligner):
     def __init__(self, mode="dna"):
         super().__init__(mode)
 
-    def align_pairs(self, pairs, shard_ids=None):
+    def align_pairs(self, pairs, shard_ids=None, deferred=False):
+        if deferred:
+            vals = self.align_pairs(pairs, shard_ids)
+            return lambda: vals
         out = []
         for a, b in pairs:
             if self.mode == "dna":
