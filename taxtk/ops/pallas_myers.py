@@ -44,17 +44,27 @@ def _pow2(x: int) -> int:
     return n
 
 
-def _pack_text(text, N, B, Np, Bp, n_tiles, SUB):
-    """[N, B] u8 codes (sentinel 31) -> [Np//2, tiles*SUB, LANE] i8 with two
-    4-bit codes per byte (low nibble = even text position).  The sentinel
-    maps to nibble 15, which the kernel's `tc >= ALPHA` check rejects the
-    same way.  Text is the largest wire array; packing halves its H2D."""
-    packed = np.full((Np // 2, Bp), 0xFF, np.uint8)
-    t = np.minimum(text, 15)
-    if N % 2:
-        t = np.concatenate([t, np.full((1, t.shape[1]), 15, np.uint8)])
-    packed[: t.shape[0] // 2, :B] = t[0::2] | (t[1::2] << 4)
-    return packed.view(np.int8).reshape(Np // 2, n_tiles * SUB, LANE)
+def _pack_text(text, N, B, Np, Bp, n_tiles, SUB, bits=4):
+    """[N, B] u8 codes (sentinel 31) -> [Np*bits//8, tiles*SUB, LANE] i8
+    with 2 (bits=4) or 4 (bits=2) codes per byte, lowest field = even text
+    position.  bits=4: the sentinel maps to nibble 15, which the kernel's
+    `tc >= ALPHA` check rejects the same way.  bits=2 (caller guarantees
+    every real code < 4): pad fields read as code 3 but the kernel harvests
+    each pair's result exactly at its own text end, so pad is inert.  Text
+    is the largest wire array; packing cuts its H2D 2x/4x."""
+    cpb = 8 // bits
+    sent = (1 << bits) - 1
+    packed = np.full((Np // cpb, Bp), 0xFF, np.uint8)
+    t = np.minimum(text, sent)
+    if N % cpb:
+        t = np.concatenate(
+            [t, np.full((cpb - N % cpb, t.shape[1]), sent, np.uint8)]
+        )
+    merged = t[0::cpb].copy()
+    for f in range(1, cpb):
+        merged |= t[f::cpb] << (bits * f)
+    packed[: t.shape[0] // cpb, :B] = merged
+    return packed.view(np.int8).reshape(Np // cpb, n_tiles * SUB, LANE)
 
 
 def _quantize_K(K: int) -> int:
@@ -73,12 +83,15 @@ def _quantize_K(K: int) -> int:
     return K
 
 
-def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
+def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int, bits: int = 4):
     def kernel(
         peq_ref,  # [K, ALPHA, SUB, LANE] u32
-        text_ref,  # [Tc//2, SUB, LANE] i8 — two 4-bit codes per byte (H2D
-        #            through the host tunnel is the engine bottleneck;
-        #            packing halves the dominant wire term)
+        text_ref,  # [Tc*bits//8, SUB, LANE] i8 — 2 (bits=4) or 4 (bits=2)
+        #            codes per byte (H2D through the host tunnel is the
+        #            engine bottleneck; packing shrinks the dominant wire
+        #            term; bits=2 is valid for N-free buckets because the
+        #            result is harvested exactly at j == n_len, so pad
+        #            codes past each text's end are inert)
         nlen_ref,  # [SUB, LANE] i32
         mlen_ref,  # [SUB, LANE] i32
         out_ref,  # [SUB, LANE] i32
@@ -113,8 +126,12 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
         # pure register/VPU dependency chain with pipelined peq/text loads
         def stepj(jj, carry):
             pvs, mvs, score, res = carry
-            packed = text_ref[jj >> 1].astype(jnp.int32)
-            tc = (packed >> ((jj & 1) * 4)) & 15
+            if bits == 2:
+                packed = text_ref[jj >> 2].astype(jnp.int32)
+                tc = (packed >> ((jj & 3) * 2)) & 3
+            else:
+                packed = text_ref[jj >> 1].astype(jnp.int32)
+                tc = (packed >> ((jj & 1) * 4)) & 15
             delta = jnp.zeros((SUB, LANE), jnp.int32)
             carry_ph = jnp.ones((SUB, LANE), jnp.uint32)
             carry_mh = jnp.zeros((SUB, LANE), jnp.uint32)
@@ -122,9 +139,10 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
             new_mvs = []
             for k in range(K):
                 eq0 = peq_ref[k, 0]
-                for c in range(1, ALPHA):
+                for c in range(1, 4 if bits == 2 else ALPHA):
                     eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
-                eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
+                if bits != 2:  # 2-bit codes are always < ALPHA (no sentinel)
+                    eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
                 pv_k = pvs[k]
                 mv_k = mvs[k]
                 eq = eq0 | carry_mh
@@ -167,7 +185,8 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int):
     return kernel
 
 
-def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
+def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
+                         bits: int = 4):
     """Pattern-block-chunked variant: processes ONE block of K pattern
     words per launch; the inter-word carry bits at the block boundary are
     read from / written to a per-text-position carry stream (hin/hout,
@@ -215,8 +234,12 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
 
         def stepj(jj, carry):
             pvs, mvs, score, res = carry
-            packed = text_ref[jj >> 1].astype(jnp.int32)
-            tc = (packed >> ((jj & 1) * 4)) & 15
+            if bits == 2:
+                packed = text_ref[jj >> 2].astype(jnp.int32)
+                tc = (packed >> ((jj & 3) * 2)) & 3
+            else:
+                packed = text_ref[jj >> 1].astype(jnp.int32)
+                tc = (packed >> ((jj & 1) * 4)) & 15
             hpack = hin_ref[jj].astype(jnp.int32)
             carry_ph = (hpack & 1).astype(jnp.uint32)
             carry_mh = ((hpack >> 1) & 1).astype(jnp.uint32)
@@ -225,9 +248,10 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
             new_mvs = []
             for k in range(K):
                 eq0 = peq_ref[k, 0]
-                for c in range(1, ALPHA):
+                for c in range(1, 4 if bits == 2 else ALPHA):
                     eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
-                eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
+                if bits != 2:  # 2-bit codes are always < ALPHA (no sentinel)
+                    eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
                 pv_k = pvs[k]
                 mv_k = mvs[k]
                 eq = eq0 | carry_mh
@@ -277,12 +301,14 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret")
+    jax.jit,
+    static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
+                     "bits"),
 )
 def _call_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
-                  K, Tc, n_chunks, n_tiles, SUB, interpret=False):
+                  K, Tc, n_chunks, n_tiles, SUB, interpret=False, bits=4):
     return _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
-                           K, Tc, n_chunks, n_tiles, SUB, interpret)
+                           K, Tc, n_chunks, n_tiles, SUB, interpret, bits)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "SUB"))
@@ -295,11 +321,14 @@ def _gather_text(text_u, txt_idx, n_tiles, SUB):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret")
+    jax.jit,
+    static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
+                     "bits"),
 )
 def _call_chunked_gather(peq_u, text, pat_idx, mword, mbit, nlen,
                          score, res, hbuf,
-                         K, Tc, n_chunks, n_tiles, SUB, interpret=False):
+                         K, Tc, n_chunks, n_tiles, SUB, interpret=False,
+                         bits=4):
     """Pool-gather front end for the pattern-block-chunked kernel: long-text
     buckets are often pair-sparse (the cell budget caps real pairs far below
     the tile width), so shipping [text, Bp]-wide arrays is mostly padding.
@@ -308,12 +337,12 @@ def _call_chunked_gather(peq_u, text, pat_idx, mword, mbit, nlen,
     S = n_tiles * SUB
     peq = jnp.take(peq_u, pat_idx, axis=2).reshape(K, ALPHA, S, LANE)
     return _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
-                           K, Tc, n_chunks, n_tiles, SUB, interpret)
+                           K, Tc, n_chunks, n_tiles, SUB, interpret, bits)
 
 
 def _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
-                    K, Tc, n_chunks, n_tiles, SUB, interpret=False):
-    kernel = _make_kernel_chunked(K, Tc, n_chunks, SUB)
+                    K, Tc, n_chunks, n_tiles, SUB, interpret=False, bits=4):
+    kernel = _make_kernel_chunked(K, Tc, n_chunks, SUB, bits)
     B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
     H = jax.ShapeDtypeStruct(hbuf.shape, jnp.int8)
     bspec = pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM)
@@ -327,7 +356,8 @@ def _pallas_chunked(peq, text, mword, mbit, nlen, score, res, hbuf,
                 (K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (Tc // 2, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM
+                (Tc * bits // 8, SUB, LANE), lambda p, t: (t, p, 0),
+                memory_space=pltpu.VMEM
             ),
             bspec,
             bspec,
@@ -393,8 +423,8 @@ def batched_edit_distance_pallas_myers_long(
     if not interpret:
         n_tiles = 1 if n_tiles == 1 else GROUP_TILES
     Bp = n_tiles * TILE
-    Tc = max(2, min(text_chunk, _pow2(max(1, N))))
-    Tc += Tc & 1  # packed text stores two positions per byte
+    Tc = max(4, min(text_chunk, _pow2(max(1, N))))
+    Tc += (-Tc) % 4  # packed text stores up to four positions per byte
     n_chunks = max(1, -(-N // Tc))
     if not interpret:
         n_chunks = _pow2(n_chunks)
@@ -434,8 +464,9 @@ def batched_edit_distance_pallas_myers_long(
     if pool is not None:
         rows, plen, idx_a, idx_b = pool
         Up = max(8 if interpret else 128, _pow2(len(rows)))
+        bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
         peq_u, text_u, pat_idx, txt_idx = _build_pool_wire(
-            rows, plen, idx_a, idx_b, swap, B, Bp, Kp, Np, Up
+            rows, plen, idx_a, idx_b, swap, B, Bp, Kp, Np, Up, bits
         )
         pat_idx_d = jnp.asarray(pat_idx)
         text_d = _gather_text(jnp.asarray(text_u), jnp.asarray(txt_idx),
@@ -457,6 +488,7 @@ def batched_edit_distance_pallas_myers_long(
                 n_tiles,
                 SUB,
                 interpret,
+                bits,
             )
     else:
         peq, text, _hmask, m_len, n_len, _K = _precompute(
@@ -466,9 +498,11 @@ def batched_edit_distance_pallas_myers_long(
             peq = np.concatenate(
                 [peq, np.zeros((Kp - peq.shape[0],) + peq.shape[1:], np.uint32)]
             )
+        bits = 2 if int(max(a_codes.max(initial=0),
+                            b_codes.max(initial=0))) < 4 else 4
         peq_t = tile_pairs(peq, 0, np.uint32)    # [Kp, A, tiles*SUB, LANE]
         text_t = jnp.asarray(
-            _pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
+            _pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB, bits)
         )
         for p in range(n_blocks):
             score, res, hbuf = _call_chunked(
@@ -486,6 +520,7 @@ def batched_edit_distance_pallas_myers_long(
                 n_tiles,
                 SUB,
                 interpret,
+                bits,
             )
 
     def post(host):
@@ -541,7 +576,8 @@ def _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=None):
     return rows, np.asarray(lens, np.int32), idx[:B], idx[B:]
 
 
-def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up):
+def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up,
+                     bits=4):
     """Shared pool->wire construction for the single-launch and
     pattern-block-chunked entry points: per-pair pool indices, used-entry
     masks, the pattern peq pool [K, ALPHA, Up] and the packed text pool."""
@@ -563,31 +599,37 @@ def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up):
             pats[u, :L] = rows[u][:L]
             plen_pat[u] = L
     peq_u = build_peq(pats, plen_pat, K)  # [K, ALPHA, Up]
-    text_u = _pack_text_pool(rows, plen, txt_used, Np, Up)
+    text_u = _pack_text_pool(rows, plen, txt_used, Np, Up, bits)
     return peq_u, text_u, pat_idx, txt_idx
 
 
-def _pack_text_pool(rows, lens, txt_used, Np, Up):
-    """Pool rows -> [Np//2, Up] packed nibbles (sentinel 15 beyond each
-    row's own length).  Only entries used as a text (txt_used mask) are
-    materialized; pattern-only entries stay all-sentinel."""
+def _pack_text_pool(rows, lens, txt_used, Np, Up, bits=4):
+    """Pool rows -> [Np*bits//8, Up] packed codes (2 or 4 per byte, pad
+    field = all-ones beyond each row's own length; see _pack_text for why
+    bits=2 pad is inert).  Only entries used as a text (txt_used mask) are
+    materialized; pattern-only entries stay all-pad."""
     U = len(rows)
-    packed = np.full((Np // 2, Up), 0xFF, np.uint8)
-    col = np.full(Np, 15, np.uint8)
+    cpb = 8 // bits
+    sent = (1 << bits) - 1
+    packed = np.full((Np // cpb, Up), 0xFF, np.uint8)
+    col = np.full(Np, sent, np.uint8)
     for u in range(U):
         if not txt_used[u]:
             continue
         L = lens[u]
-        col[:L] = np.minimum(rows[u], 15)
-        half = (L + 1) // 2
-        packed[:half, u] = col[0 : 2 * half : 2] | (col[1 : 2 * half : 2] << 4)
-        col[:L] = 15
+        col[:L] = np.minimum(rows[u], sent)
+        nb = -(-L // cpb)
+        merged = col[0 : cpb * nb : cpb].copy()
+        for f in range(1, cpb):
+            merged |= col[f : cpb * nb : cpb] << (bits * f)
+        packed[:nb, u] = merged
+        col[:L] = sent
     return packed.view(np.int8)
 
 
 def _pallas_single(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB,
-                   interpret=False):
-    kernel = _make_kernel(K, Tc, n_chunks, SUB)
+                   interpret=False, bits=4):
+    kernel = _make_kernel(K, Tc, n_chunks, SUB, bits)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32),
@@ -598,7 +640,8 @@ def _pallas_single(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB,
                 (K, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (Tc // 2, SUB, LANE), lambda p, t: (t, p, 0), memory_space=pltpu.VMEM
+                (Tc * bits // 8, SUB, LANE), lambda p, t: (t, p, 0),
+                memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0), memory_space=pltpu.VMEM),
@@ -617,17 +660,21 @@ def _pallas_single(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB,
     )(peq, text, nlen, mlen)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB"))
-def _call(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB):
-    return _pallas_single(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB)
+@functools.partial(
+    jax.jit, static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "bits")
+)
+def _call(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB, bits=4):
+    return _pallas_single(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles,
+                          SUB, bits=bits)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret"),
+    static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
+                     "bits"),
 )
 def _call_gather(peq_u, text_u, pat_idx, txt_idx, nlen, mlen,
-                 K, Tc, n_chunks, n_tiles, SUB, interpret=False):
+                 K, Tc, n_chunks, n_tiles, SUB, interpret=False, bits=4):
     """Pool-gather front end: wire arrays are pool-sized ([*, Up]); the
     per-pair tiled layouts the kernel wants are materialized on DEVICE by
     two gathers.  H2D through the host tunnel is the engine's bottleneck —
@@ -637,7 +684,8 @@ def _call_gather(peq_u, text_u, pat_idx, txt_idx, nlen, mlen,
     peq = jnp.take(peq_u, pat_idx, axis=2).reshape(K, ALPHA, S, LANE)
     text = jnp.take(text_u, txt_idx, axis=1).reshape(-1, S, LANE)
     return _pallas_single(
-        peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB, interpret
+        peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB, interpret,
+        bits=bits,
     )
 
 
@@ -692,8 +740,8 @@ def batched_edit_distance_pallas_myers(
         elif n_tiles > 1:
             n_tiles = GROUP_TILES
     Bp = n_tiles * TILE
-    Tc = max(2, min(text_chunk, _pow2(max(1, N))))
-    Tc += Tc & 1  # packed text stores two positions per byte
+    Tc = max(4, min(text_chunk, _pow2(max(1, N))))
+    Tc += (-Tc) % 4  # packed text stores up to four positions per byte
     n_chunks = max(1, -(-N // Tc))
     if not interpret:
         n_chunks = _pow2(n_chunks)
@@ -725,8 +773,9 @@ def batched_edit_distance_pallas_myers(
     if pool is not None:
         rows, plen, idx_a, idx_b = pool
         Up = max(8 if interpret else 128, _pow2(len(rows)))
+        bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
         peq_u, text_u, pat_idx, txt_idx = _build_pool_wire(
-            rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up
+            rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up, bits
         )
         kernel_out = _call_gather(
             jnp.asarray(peq_u),
@@ -741,6 +790,7 @@ def batched_edit_distance_pallas_myers(
             n_tiles,
             SUB,
             interpret,
+            bits,
         )
     else:
         peq, text, _hmask, m_len, n_len, K0 = _precompute(
@@ -751,13 +801,16 @@ def batched_edit_distance_pallas_myers(
                 [peq, np.zeros((K - peq.shape[0],) + peq.shape[1:], np.uint32)]
             )
         peq_t = tile_pairs(peq, 0, np.uint32)  # [K, A, n_tiles*SUB, LANE]
-        text_t = _pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
-
         if interpret:
+            text_t = _pack_text(text, text.shape[0], B, Np, Bp, n_tiles, SUB)
             kernel_out = _call_interpret(
                 peq_t, text_t, nlen_t, mlen_t, K, Tc, n_chunks, n_tiles, SUB
             )
         else:
+            bits = 2 if int(max(a_codes.max(initial=0),
+                                b_codes.max(initial=0))) < 4 else 4
+            text_t = _pack_text(text, text.shape[0], B, Np, Bp, n_tiles,
+                                SUB, bits)
             kernel_out = _call(
                 jnp.asarray(peq_t),
                 jnp.asarray(text_t),
@@ -768,6 +821,7 @@ def batched_edit_distance_pallas_myers(
                 n_chunks,
                 n_tiles,
                 SUB,
+                bits,
             )
     def post(host):
         out = np.asarray(host).reshape(Bp)[:B]

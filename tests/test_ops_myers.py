@@ -202,3 +202,45 @@ def test_pallas_myers_long_pool_gather_interpret():
         )
     )
     np.testing.assert_array_equal(want, got)
+
+
+def test_pallas_myers_text_bits_routing():
+    """2-bit text packing engages exactly when every code < 4 (pure ACGT)
+    and yields the same distances as the 4-bit (N-bearing) wire format
+    (ops/pallas_myers.py _pack_text/_pack_text_pool)."""
+    from taxtk.ops import pallas_myers as pm
+
+    rng = np.random.RandomState(7)
+    B = 6
+    for hi, want_bits in ((4, 2), (5, 4)):  # codes 0..3 => 2-bit; with N => 4
+        ac = np.zeros((B, 90), np.uint8)
+        bc = np.zeros((B, 120), np.uint8)
+        al = np.zeros(B, np.int32)
+        bl = np.zeros(B, np.int32)
+        for i in range(B):
+            al[i] = rng.randint(1, 91)
+            bl[i] = rng.randint(1, 121)
+            ac[i, : al[i]] = rng.randint(0, hi, al[i])
+            bc[i, : bl[i]] = rng.randint(0, hi, bl[i])
+        if hi == 5:  # guarantee at least one N in a text
+            bc[0, 0] = 4
+        want = np.asarray(batched_edit_distance_myers(ac, bc, al, bl))
+        for pool in (True, False):
+            got = np.asarray(
+                pm.batched_edit_distance_pallas_myers(
+                    ac, bc, al, bl, interpret=True, pool_gather=pool
+                )
+            )
+            np.testing.assert_array_equal(want, got, err_msg=f"hi={hi} pool={pool}")
+        # the chunked long path too
+        got = np.asarray(
+            pm.batched_edit_distance_pallas_myers_long(
+                ac, bc, al, bl, block_words=1, text_chunk=64,
+                interpret=True, pool_gather=True,
+            )
+        )
+        np.testing.assert_array_equal(want, got, err_msg=f"long hi={hi}")
+        # routing check: the pool pack honours the expected width
+        rows, plen, ia, ib = pm._dedupe_pool(ac, bc, al, bl)
+        bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
+        assert bits == want_bits
