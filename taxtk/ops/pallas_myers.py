@@ -465,15 +465,20 @@ def batched_edit_distance_pallas_myers_long(
         rows, plen, idx_a, idx_b = pool
         Up = max(8 if interpret else 128, _pow2(len(rows)))
         bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
-        peq_u, text_u, pat_idx, txt_idx = _build_pool_wire(
+        pat_u, plen_pat, text_u, pat_idx, txt_idx = _build_pool_wire(
             rows, plen, idx_a, idx_b, swap, B, Bp, Kp, Np, Up, bits
         )
         pat_idx_d = jnp.asarray(pat_idx)
         text_d = _gather_text(jnp.asarray(text_u), jnp.asarray(txt_idx),
                               n_tiles, SUB)
+        # peq planes built ON DEVICE from the packed codes (the [K,5,Up]
+        # u32 peq was the dominant wire term), then sliced per block
+        # device-side — no per-block H2D at all
+        peq_dev = _peq_from_codes(jnp.asarray(pat_u), jnp.asarray(plen_pat),
+                                  Kp, bits)
         for p in range(n_blocks):
             score, res, hbuf = _call_chunked_gather(
-                jnp.asarray(peq_u[p * Kb : (p + 1) * Kb]),
+                peq_dev[p * Kb : (p + 1) * Kb],
                 text_d,
                 pat_idx_d,
                 jnp.asarray(mword_t - p * Kb),
@@ -580,7 +585,10 @@ def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up,
                      bits=4):
     """Shared pool->wire construction for the single-launch and
     pattern-block-chunked entry points: per-pair pool indices, used-entry
-    masks, the pattern peq pool [K, ALPHA, Up] and the packed text pool."""
+    masks, the packed PATTERN CODES pool (peq planes are built on device —
+    shipping [K, ALPHA, Up] u32 peq was the dominant wire term after the
+    text packing, and packed codes are 2.5x/1.25x smaller at bits=2/4),
+    and the packed text pool."""
     pat_idx = np.zeros(Bp, np.int32)
     txt_idx = np.zeros(Bp, np.int32)
     pat_idx[:B] = np.where(swap, idx_b, idx_a)
@@ -590,17 +598,39 @@ def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up,
     txt_used = np.zeros(U, bool)
     pat_used[pat_idx[:B]] = True
     txt_used[txt_idx[:B]] = True
-    Wp = min(K * WORD, int(plen[pat_used].max(initial=1)))
-    pats = np.full((Up, Wp), 255, np.uint8)
-    plen_pat = np.zeros(Up, np.int32)
-    for u in range(U):
-        if pat_used[u]:
-            L = min(int(plen[u]), Wp)
-            pats[u, :L] = rows[u][:L]
-            plen_pat[u] = L
-    peq_u = build_peq(pats, plen_pat, K)  # [K, ALPHA, Up]
+    # pattern codes packed to the pattern extent (K*WORD), independent of
+    # the (possibly much taller) text pool height
+    plen_cap = np.minimum(plen, K * WORD).astype(np.int32)
+    plen_pat = np.where(pat_used[:U], plen_cap[:U], 0)
+    plen_pat = np.concatenate([plen_pat, np.zeros(Up - U, np.int32)])
+    pat_u = _pack_text_pool(rows, plen_cap, pat_used, K * WORD, Up, bits)
     text_u = _pack_text_pool(rows, plen, txt_used, Np, Up, bits)
-    return peq_u, text_u, pat_idx, txt_idx
+    return pat_u, plen_pat, text_u, pat_idx, txt_idx
+
+
+@functools.partial(jax.jit, static_argnames=("K", "bits"))
+def _peq_from_codes(pat_u, plen_pat, K, bits):
+    """Device-side peq builder: packed pattern codes [K*WORD*bits//8, Up]
+    -> bit-parallel match masks [K, ALPHA, Up] u32.  Pad positions (and
+    bits=2 pad fields, which read as code 3) are masked by plen_pat; bits
+    above a pattern's end never reach the harvested hmask cell anyway."""
+    cpb = 8 // bits
+    mask = (1 << bits) - 1
+    W = K * WORD
+    idx = jnp.arange(W)
+    rowsb = jnp.take(pat_u.astype(jnp.int32), idx // cpb, axis=0)  # [W, Up]
+    codes = (rowsb >> ((idx % cpb) * bits)[:, None]) & mask
+    valid = idx[:, None] < plen_pat[None, :]
+    weights = (jnp.uint32(1) << jnp.arange(WORD, dtype=jnp.uint32))
+    planes = []
+    for c in range(ALPHA):
+        eq = ((codes == c) & valid).reshape(K, WORD, -1)
+        planes.append(
+            (eq.astype(jnp.uint32) * weights[None, :, None]).sum(
+                axis=1, dtype=jnp.uint32
+            )
+        )
+    return jnp.stack(planes, axis=1)  # [K, ALPHA, Up]
 
 
 def _pack_text_pool(rows, lens, txt_used, Np, Up, bits=4):
@@ -616,8 +646,8 @@ def _pack_text_pool(rows, lens, txt_used, Np, Up, bits=4):
     for u in range(U):
         if not txt_used[u]:
             continue
-        L = lens[u]
-        col[:L] = np.minimum(rows[u], sent)
+        L = int(lens[u])
+        col[:L] = np.minimum(rows[u][:L], sent)
         nb = -(-L // cpb)
         merged = col[0 : cpb * nb : cpb].copy()
         for f in range(1, cpb):
@@ -673,14 +703,16 @@ def _call(peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB, bits=4):
     static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
                      "bits"),
 )
-def _call_gather(peq_u, text_u, pat_idx, txt_idx, nlen, mlen,
+def _call_gather(pat_u, plen_pat, text_u, pat_idx, txt_idx, nlen, mlen,
                  K, Tc, n_chunks, n_tiles, SUB, interpret=False, bits=4):
     """Pool-gather front end: wire arrays are pool-sized ([*, Up]); the
-    per-pair tiled layouts the kernel wants are materialized on DEVICE by
-    two gathers.  H2D through the host tunnel is the engine's bottleneck —
-    this makes the wire cost scale with unique sequences instead of the
-    padded pair-group width."""
+    peq planes are BUILT on device from packed pattern codes
+    (_peq_from_codes) and the per-pair tiled layouts are materialized on
+    DEVICE by two gathers.  H2D through the host tunnel is the engine's
+    bottleneck — this makes the wire cost scale with unique sequence
+    BYTES instead of peq planes or the padded pair-group width."""
     S = n_tiles * SUB
+    peq_u = _peq_from_codes(pat_u, plen_pat, K, bits)
     peq = jnp.take(peq_u, pat_idx, axis=2).reshape(K, ALPHA, S, LANE)
     text = jnp.take(text_u, txt_idx, axis=1).reshape(-1, S, LANE)
     return _pallas_single(
@@ -774,11 +806,12 @@ def batched_edit_distance_pallas_myers(
         rows, plen, idx_a, idx_b = pool
         Up = max(8 if interpret else 128, _pow2(len(rows)))
         bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
-        peq_u, text_u, pat_idx, txt_idx = _build_pool_wire(
+        pat_u, plen_pat, text_u, pat_idx, txt_idx = _build_pool_wire(
             rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up, bits
         )
         kernel_out = _call_gather(
-            jnp.asarray(peq_u),
+            jnp.asarray(pat_u),
+            jnp.asarray(plen_pat),
             jnp.asarray(text_u),
             jnp.asarray(pat_idx),
             jnp.asarray(txt_idx),
