@@ -114,6 +114,15 @@ class BatchAligner:
         self.pairs_aligned = 0
         self.cells_computed = 0
         self.stage_seconds = {}  # per-phase accounting (kernel vs staging)
+        # cross-round device-resident sequence pool (ops/seqpool.py): RPA's
+        # pass-1/2 rounds re-align the segments pass 0 already shipped
+        # (~48% of pool H2D bytes are re-ships, benchmarks/probe_pool_reuse
+        # .py); the cache ships each unique row once
+        self.pool_cache = None
+        if self.mode == "dna" and self.dna_backend == "myers-pallas":
+            from ..ops.seqpool import DevicePoolCache
+
+            self.pool_cache = DevicePoolCache()
         # dp×tp engine backend (parallel/engine_mesh.py), set by RpaEngine
         # when a mesh with a tp axis is in play: alignment batches then run
         # tp-sharded (pairs on their refpack shard's column)
@@ -382,7 +391,8 @@ class BatchAligner:
 
                 try:
                     dev, post = batched_edit_distance_pallas_myers_long(
-                        a_codes, b_codes, a_len, b_len, lazy="device"
+                        a_codes, b_codes, a_len, b_len, lazy="device",
+                        pool_cache=self.pool_cache,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     self._warn_fallback(e, "host myers")
@@ -454,7 +464,8 @@ class BatchAligner:
 
                 try:
                     dev, post = batched_edit_distance_pallas_myers(
-                        a_codes, b_codes, a_len, b_len, lazy="device"
+                        a_codes, b_codes, a_len, b_len, lazy="device",
+                        pool_cache=self.pool_cache,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     # graceful degradation: a kernel that cannot compile or

@@ -397,7 +397,7 @@ def batched_edit_distance_pallas_myers_long(
     a_codes, b_codes, a_len, b_len,
     text_chunk: int = 512, interpret: bool = False, sub_tile: int = DEFAULT_SUB,
     block_words: int = CHUNK_KC, lazy: bool = False,
-    pool_gather: bool | None = None,
+    pool_gather: bool | None = None, pool_cache=None,
 ):
     """Pattern-block-chunked TPU path for pairs whose pattern exceeds the
     single-launch VMEM budget (aligner routes min-side > 6144bp here).
@@ -462,20 +462,41 @@ def batched_edit_distance_pallas_myers_long(
         pool = _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=cap)
 
     if pool is not None:
-        rows, plen, idx_a, idx_b = pool
+        rows, plen, idx_a, idx_b, keys = pool
         Up = max(8 if interpret else 128, _pow2(len(rows)))
         bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
-        pat_u, plen_pat, text_u, pat_idx, txt_idx = _build_pool_wire(
-            rows, plen, idx_a, idx_b, swap, B, Bp, Kp, Np, Up, bits
-        )
-        pat_idx_d = jnp.asarray(pat_idx)
-        text_d = _gather_text(jnp.asarray(text_u), jnp.asarray(txt_idx),
-                              n_tiles, SUB)
-        # peq planes built ON DEVICE from the packed codes (the [K,5,Up]
-        # u32 peq was the dominant wire term), then sliced per block
-        # device-side — no per-block H2D at all
-        peq_dev = _peq_from_codes(jnp.asarray(pat_u), jnp.asarray(plen_pat),
-                                  Kp, bits)
+        if pool_cache is not None:
+            from .seqpool import DevicePoolCache
+
+            Hc = max(DevicePoolCache.height_class(Np), _pow2(Kp * WORD))
+            pool_dev, slots = pool_cache.ensure(bits, Hc, keys, rows, plen)
+            pat_idx, txt_idx, plen_pat, _, _, _ = _pool_indices(
+                plen, idx_a, idx_b, swap, B, Bp, Kp, Up
+            )
+            pat_cols = np.zeros(Up, np.int32)
+            pat_cols[: len(slots)] = slots
+            cpb = 8 // bits
+            pat_idx_d = jnp.asarray(pat_idx)
+            text_d = _gather_text_pool(
+                pool_dev, jnp.asarray(slots[txt_idx]), n_tiles, SUB,
+                Np // cpb,
+            )
+            peq_dev = _peq_from_pool(
+                pool_dev, jnp.asarray(pat_cols), jnp.asarray(plen_pat),
+                Kp, bits, Kp * WORD // cpb,
+            )
+        else:
+            pat_u, plen_pat, text_u, pat_idx, txt_idx = _build_pool_wire(
+                rows, plen, idx_a, idx_b, swap, B, Bp, Kp, Np, Up, bits
+            )
+            pat_idx_d = jnp.asarray(pat_idx)
+            text_d = _gather_text(jnp.asarray(text_u), jnp.asarray(txt_idx),
+                                  n_tiles, SUB)
+            # peq planes built ON DEVICE from the packed codes (the [K,5,Up]
+            # u32 peq was the dominant wire term), then sliced per block
+            # device-side — no per-block H2D at all
+            peq_dev = _peq_from_codes(jnp.asarray(pat_u),
+                                      jnp.asarray(plen_pat), Kp, bits)
         for p in range(n_blocks):
             score, res, hbuf = _call_chunked_gather(
                 peq_dev[p * Kb : (p + 1) * Kb],
@@ -545,13 +566,14 @@ def batched_edit_distance_pallas_myers_long(
 def _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=None):
     """Row-dedupe both pair sides into one sequence pool.
 
-    Returns (rows, lens, idx_a, idx_b): `rows` is a list of 1-D uint8 code
-    arrays (trimmed to each sequence's own length), `idx_a[i]`/`idx_b[i]`
-    index the pool entry backing pair i's a/b side.  RPA re-aligns the same
-    query/anchor/candidate segments across many pairs (pass 0 shares the
-    query, pass 1/2 share anchors), so the pool is materially smaller than
-    2B rows — and, more importantly, the device wire arrays become
-    pool-sized instead of padded-pair-group-sized.
+    Returns (rows, lens, idx_a, idx_b, keys): `rows` is a list of 1-D uint8
+    code arrays (trimmed to each sequence's own length), `idx_a[i]`/
+    `idx_b[i]` index the pool entry backing pair i's a/b side, `keys` are
+    the content keys (for the cross-round device pool cache, ops/seqpool.py).
+    RPA re-aligns the same query/anchor/candidate segments across many pairs
+    (pass 0 shares the query, pass 1/2 share anchors), so the pool is
+    materially smaller than 2B rows — and, more importantly, the device
+    wire arrays become pool-sized instead of padded-pair-group-sized.
 
     max_rows: short-circuit — return None as soon as the pool exceeds this
     many rows (the caller would discard a pool that wide anyway; hashing
@@ -564,6 +586,7 @@ def _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=None):
     seen: dict = {}
     rows = []
     lens = []
+    keys = []
     idx = np.empty(2 * B, np.int32)
     for j, (codes, ls) in enumerate(((a_codes, a_len), (b_codes, b_len))):
         for i in range(B):
@@ -577,8 +600,29 @@ def _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=None):
                 seen[key] = u
                 rows.append(codes[i, :L])
                 lens.append(L)
+                keys.append(key)
             idx[j * B + i] = u
-    return rows, np.asarray(lens, np.int32), idx[:B], idx[B:]
+    return rows, np.asarray(lens, np.int32), idx[:B], idx[B:], keys
+
+
+def _pool_indices(plen, idx_a, idx_b, swap, B, Bp, K, Up):
+    """Per-pair pool indices + per-entry pattern lengths shared by the
+    host-packed and device-pool wire paths."""
+    pat_idx = np.zeros(Bp, np.int32)
+    txt_idx = np.zeros(Bp, np.int32)
+    pat_idx[:B] = np.where(swap, idx_b, idx_a)
+    txt_idx[:B] = np.where(swap, idx_a, idx_b)
+    U = len(plen)
+    pat_used = np.zeros(U, bool)
+    txt_used = np.zeros(U, bool)
+    pat_used[pat_idx[:B]] = True
+    txt_used[txt_idx[:B]] = True
+    # pattern codes read to the pattern extent (K*WORD), independent of
+    # the (possibly much taller) text pool height
+    plen_cap = np.minimum(plen, K * WORD).astype(np.int32)
+    plen_pat = np.where(pat_used[:U], plen_cap[:U], 0)
+    plen_pat = np.concatenate([plen_pat, np.zeros(Up - U, np.int32)])
+    return pat_idx, txt_idx, plen_pat, plen_cap, pat_used, txt_used
 
 
 def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up,
@@ -589,23 +633,52 @@ def _build_pool_wire(rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up,
     shipping [K, ALPHA, Up] u32 peq was the dominant wire term after the
     text packing, and packed codes are 2.5x/1.25x smaller at bits=2/4),
     and the packed text pool."""
-    pat_idx = np.zeros(Bp, np.int32)
-    txt_idx = np.zeros(Bp, np.int32)
-    pat_idx[:B] = np.where(swap, idx_b, idx_a)
-    txt_idx[:B] = np.where(swap, idx_a, idx_b)
-    U = len(rows)
-    pat_used = np.zeros(U, bool)
-    txt_used = np.zeros(U, bool)
-    pat_used[pat_idx[:B]] = True
-    txt_used[txt_idx[:B]] = True
-    # pattern codes packed to the pattern extent (K*WORD), independent of
-    # the (possibly much taller) text pool height
-    plen_cap = np.minimum(plen, K * WORD).astype(np.int32)
-    plen_pat = np.where(pat_used[:U], plen_cap[:U], 0)
-    plen_pat = np.concatenate([plen_pat, np.zeros(Up - U, np.int32)])
+    pat_idx, txt_idx, plen_pat, plen_cap, pat_used, txt_used = _pool_indices(
+        plen, idx_a, idx_b, swap, B, Bp, K, Up
+    )
     pat_u = _pack_text_pool(rows, plen_cap, pat_used, K * WORD, Up, bits)
     text_u = _pack_text_pool(rows, plen, txt_used, Np, Up, bits)
     return pat_u, plen_pat, text_u, pat_idx, txt_idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
+                     "bits"),
+)
+def _call_pool(pool, txt_cols, pat_cols, plen_pat, pat_idx, nlen, mlen,
+               K, Tc, n_chunks, n_tiles, SUB, interpret=False, bits=4):
+    """Device-pool front end (single-launch kernel): text and pattern
+    columns are gathered straight from the CROSS-ROUND resident pool
+    (ops/seqpool.py) — the round's H2D is just the new rows plus these
+    small index vectors.  A column packed at the pool height sliced to the
+    first Np//cpb (or K*WORD//cpb) rows IS the packing at that height."""
+    cpb = 8 // bits
+    S = n_tiles * SUB
+    Np = n_chunks * Tc
+    text = jnp.take(pool[: Np // cpb], txt_cols, axis=1).reshape(-1, S, LANE)
+    pat_u = jnp.take(pool[: K * WORD // cpb], pat_cols, axis=1)
+    peq_u = _peq_from_codes(pat_u, plen_pat, K, bits)
+    peq = jnp.take(peq_u, pat_idx, axis=2).reshape(K, ALPHA, S, LANE)
+    return _pallas_single(
+        peq, text, nlen, mlen, K, Tc, n_chunks, n_tiles, SUB, interpret,
+        bits=bits,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "SUB", "np_rows"))
+def _gather_text_pool(pool, txt_cols, n_tiles, SUB, np_rows):
+    """Chunked-path text gather from the cross-round device pool (gathered
+    once; block-invariant, like _gather_text)."""
+    S = n_tiles * SUB
+    return jnp.take(pool[:np_rows], txt_cols, axis=1).reshape(-1, S, LANE)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "bits", "kw_rows"))
+def _peq_from_pool(pool, pat_cols, plen_pat, K, bits, kw_rows):
+    """Chunked-path peq build from the cross-round device pool."""
+    pat_u = jnp.take(pool[:kw_rows], pat_cols, axis=1)
+    return _peq_from_codes(pat_u, plen_pat, K, bits)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "bits"))
@@ -731,12 +804,15 @@ def batched_edit_distance_pallas_myers(
     sub_tile: int = DEFAULT_SUB,
     lazy: bool = False,
     pool_gather: bool | None = None,
+    pool_cache=None,
 ):
     """Drop-in for dna_align.batched_edit_distance (TPU bit-parallel path).
 
     lazy=True returns a zero-arg finish closure (see myers_batch).
     pool_gather: None = auto (on for compiled runs when the dedupe pool is
     narrower than the padded pair group), True = force (tests), False = off.
+    pool_cache: optional ops.seqpool.DevicePoolCache — sequence rows stay
+    DEVICE-RESIDENT across align rounds; only rows not yet on device ship.
     """
     a_codes = np.asarray(a_codes, dtype=np.uint8)
     b_codes = np.asarray(b_codes, dtype=np.uint8)
@@ -756,6 +832,7 @@ def batched_edit_distance_pallas_myers(
         return batched_edit_distance_pallas_myers_long(
             a_codes, b_codes, a_len, b_len,
             text_chunk=text_chunk, sub_tile=sub_tile, lazy=lazy,
+            pool_cache=pool_cache,
         )
 
     SUB = sub_tile
@@ -803,28 +880,55 @@ def batched_edit_distance_pallas_myers(
         pool = _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=cap)
 
     if pool is not None:
-        rows, plen, idx_a, idx_b = pool
+        rows, plen, idx_a, idx_b, keys = pool
         Up = max(8 if interpret else 128, _pow2(len(rows)))
         bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
-        pat_u, plen_pat, text_u, pat_idx, txt_idx = _build_pool_wire(
-            rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up, bits
-        )
-        kernel_out = _call_gather(
-            jnp.asarray(pat_u),
-            jnp.asarray(plen_pat),
-            jnp.asarray(text_u),
-            jnp.asarray(pat_idx),
-            jnp.asarray(txt_idx),
-            jnp.asarray(nlen_t),
-            jnp.asarray(mlen_t),
-            K,
-            Tc,
-            n_chunks,
-            n_tiles,
-            SUB,
-            interpret,
-            bits,
-        )
+        if pool_cache is not None:
+            from .seqpool import DevicePoolCache
+
+            Hc = max(DevicePoolCache.height_class(Np), _pow2(K * WORD))
+            pool_dev, slots = pool_cache.ensure(bits, Hc, keys, rows, plen)
+            pat_idx, txt_idx, plen_pat, _, _, _ = _pool_indices(
+                plen, idx_a, idx_b, swap, B, Bp, K, Up
+            )
+            pat_cols = np.zeros(Up, np.int32)
+            pat_cols[: len(slots)] = slots
+            kernel_out = _call_pool(
+                pool_dev,
+                jnp.asarray(slots[txt_idx]),
+                jnp.asarray(pat_cols),
+                jnp.asarray(plen_pat),
+                jnp.asarray(pat_idx),
+                jnp.asarray(nlen_t),
+                jnp.asarray(mlen_t),
+                K,
+                Tc,
+                n_chunks,
+                n_tiles,
+                SUB,
+                interpret,
+                bits,
+            )
+        else:
+            pat_u, plen_pat, text_u, pat_idx, txt_idx = _build_pool_wire(
+                rows, plen, idx_a, idx_b, swap, B, Bp, K, Np, Up, bits
+            )
+            kernel_out = _call_gather(
+                jnp.asarray(pat_u),
+                jnp.asarray(plen_pat),
+                jnp.asarray(text_u),
+                jnp.asarray(pat_idx),
+                jnp.asarray(txt_idx),
+                jnp.asarray(nlen_t),
+                jnp.asarray(mlen_t),
+                K,
+                Tc,
+                n_chunks,
+                n_tiles,
+                SUB,
+                interpret,
+                bits,
+            )
     else:
         peq, text, _hmask, m_len, n_len, K0 = _precompute(
             a_codes, b_codes, a_len, b_len

@@ -1,0 +1,152 @@
+"""Device-resident packed-sequence pools shared across align rounds.
+
+RPA's three alignment rounds re-use the same segments: pass 1 re-aligns
+the segments pass 0 shipped, pass 2 re-aligns pass-1's (measured: ~48% of
+all pool H2D bytes on the config-4 e2e workload are re-ships of rows
+already sent — 100% in pass 2; benchmarks/probe_pool_reuse.py).  Through
+the remote-tunnel link, H2D is the engine's dominant cost, so this module
+keeps the deduped pools DEVICE-RESIDENT across rounds:
+
+  * one append-only pool per (bits, height-class): a [Hc//cpb, cap] int8
+    device array of packed columns (same wire format as
+    pallas_myers._pack_text_pool — codes packed 2 or 4 per byte from
+    position 0, 0xFF sentinel beyond each row's own length);
+  * a host dict mapping (length, bytes) content keys -> column slot;
+  * each align round ships ONLY the rows not yet resident (one
+    dynamic_update_slice append), and the kernel's gather front end reads
+    text/pattern columns straight from the pool.
+
+Height classes are the aligner's pow2 text buckets (floored at 128 so the
+pattern extent K*WORD always fits; see pallas_myers._quantize_K): a column
+packed at height Hc sliced to the first Np//cpb rows IS the packing at
+height Np for any row of length <= Np, so one pool serves every slice the
+kernel needs.  Shapes stay on a small pow2 ladder (capacity doubling,
+pow2-padded appends) to keep the compiled-variant set tiny — remote TPU
+compiles are expensive.
+
+No reference analog: the reference aligns one pair at a time from host
+memory (reference: core/src/taxonpredictionmodelsequence.hh:526).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _pool_append(dev, new, off):
+    """Write `new` columns into the pool at column offset `off` (traced:
+    every append offset reuses one compiled variant per shape pair)."""
+    return jax.lax.dynamic_update_slice(dev, new, (jnp.int32(0), off))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _pool_grow(dev, cap: int):
+    pad = jnp.full((dev.shape[0], cap - dev.shape[1]), -1, jnp.int8)
+    return jnp.concatenate([dev, pad], axis=1)
+
+
+def _pow2(x: int, minimum: int = 1) -> int:
+    n = minimum
+    while n < x:
+        n <<= 1
+    return n
+
+
+class _Pool:
+    __slots__ = ("Hc", "bits", "dev", "cap", "n_used", "slots")
+
+    def __init__(self, Hc: int, bits: int, cap: int = 512):
+        self.Hc = Hc
+        self.bits = bits
+        self.cap = cap
+        self.n_used = 0
+        self.slots: Dict[Tuple[int, bytes], int] = {}
+        cpb = 8 // bits
+        self.dev = jnp.full((Hc // cpb, cap), -1, jnp.int8)
+
+    @property
+    def nbytes(self) -> int:
+        return self.dev.shape[0] * self.cap
+
+
+class DevicePoolCache:
+    """Content-keyed device pools; `ensure` returns per-row column slots,
+    shipping only the missing rows.  Resets wholesale when the device
+    byte budget is exceeded (reuse is between ADJACENT rounds, so a
+    periodic full reset costs at most one round of re-shipping)."""
+
+    def __init__(self, budget_bytes: int = 256 << 20):
+        self.pools: Dict[Tuple[int, int], _Pool] = {}
+        self.budget = budget_bytes
+        self.hits = 0
+        self.misses = 0
+        self.bytes_shipped = 0
+        self.resets = 0
+
+    @staticmethod
+    def height_class(N: int) -> int:
+        return max(_pow2(N), 128)
+
+    def _total_bytes(self) -> int:
+        return sum(p.nbytes for p in self.pools.values())
+
+    def pool(self, bits: int, Hc: int) -> _Pool:
+        key = (bits, Hc)
+        p = self.pools.get(key)
+        if p is None:
+            p = self.pools[key] = _Pool(Hc, bits)
+        return p
+
+    def ensure(
+        self,
+        bits: int,
+        Hc: int,
+        keys: List[Tuple[int, bytes]],
+        rows: List[np.ndarray],
+        lens: np.ndarray,
+    ):
+        """Returns (pool_dev, slots[int32 array over rows]).  Ships the
+        rows whose content key is not yet resident, appended as one packed
+        block (pow2-padded column count)."""
+        if self._total_bytes() > self.budget:
+            self.pools.clear()
+            self.resets += 1
+        p = self.pool(bits, Hc)
+        slots = np.empty(len(rows), np.int32)
+        missing: List[int] = []
+        for i, k in enumerate(keys):
+            s = p.slots.get(k)
+            if s is None:
+                s = p.n_used + len(missing)
+                p.slots[k] = s
+                missing.append(i)
+            else:
+                self.hits += 1
+            slots[i] = s
+        if missing:
+            self.misses += len(missing)
+            n_new = len(missing)
+            n_pad = _pow2(n_new, minimum=64)
+            if p.n_used + n_pad > p.cap:
+                p.cap = _pow2(p.n_used + n_pad, minimum=p.cap * 2)
+                p.dev = _pool_grow(p.dev, p.cap)
+            from .pallas_myers import _pack_text_pool
+
+            mrows = [rows[i] for i in missing]
+            mlens = lens[missing]
+            packed = _pack_text_pool(
+                mrows, mlens, np.ones(n_new, bool), Hc, n_pad, bits
+            )
+            self.bytes_shipped += packed.nbytes
+            p.dev = _pool_append(
+                p.dev, jnp.asarray(packed), jnp.int32(p.n_used)
+            )
+            p.n_used += n_pad
+        return p.dev, slots

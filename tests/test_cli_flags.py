@@ -47,7 +47,7 @@ def test_module_entry_points():
             [sys.executable, "-m", mod, "--help"],
             capture_output=True,
             text=True,
-            timeout=120,
+            timeout=300,
             env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
         )
         assert r.returncode == 0, (mod, r.stderr[-500:])

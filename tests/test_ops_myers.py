@@ -241,6 +241,6 @@ def test_pallas_myers_text_bits_routing():
         )
         np.testing.assert_array_equal(want, got, err_msg=f"long hi={hi}")
         # routing check: the pool pack honours the expected width
-        rows, plen, ia, ib = pm._dedupe_pool(ac, bc, al, bl)
+        rows, plen, ia, ib, _keys = pm._dedupe_pool(ac, bc, al, bl)
         bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
         assert bits == want_bits
