@@ -57,7 +57,10 @@ def main(n_contigs=100):
                 pool = {}
                 for a, b in pairs:
                     for s in (a, b):
-                        k = (len(s), hash(s.tobytes()))
+                        # full-content key, matching the real _dedupe_pool
+                        # (a Python-hash key could conflate distinct rows
+                        # and overstate reuse)
+                        k = (len(s), s.tobytes())
                         pool[k] = len(s)
                 rounds.append(pool)
                 return super().align_pairs(pairs, shard_ids, deferred)

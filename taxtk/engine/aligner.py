@@ -89,7 +89,11 @@ class BatchAligner:
         dna_backend: str | None = None,
         protein_backend: str | None = None,
         mesh=None,
+        pallas_interpret: bool = False,
     ):
+        # pallas_interpret: run the pallas kernels in interpreter mode (CPU
+        # tests of the production TPU path, incl. the device pool cache)
+        self.pallas_interpret = pallas_interpret
         # mesh: optional jax.sharding.Mesh with a "dp" axis — alignment
         # batches shard over it (pure data parallelism, no collectives);
         # applies to the XLA myers backend
@@ -123,6 +127,13 @@ class BatchAligner:
             from ..ops.seqpool import DevicePoolCache
 
             self.pool_cache = DevicePoolCache()
+        # interpret mode defaults pool_gather off; force it on so the pool
+        # (and pool cache) paths are exercised exactly as on TPU
+        self._pallas_kw = (
+            dict(interpret=True, pool_gather=True)
+            if self.pallas_interpret
+            else {}
+        )
         # dp×tp engine backend (parallel/engine_mesh.py), set by RpaEngine
         # when a mesh with a tp axis is in play: alignment batches then run
         # tp-sharded (pairs on their refpack shard's column)
@@ -392,7 +403,7 @@ class BatchAligner:
                 try:
                     dev, post = batched_edit_distance_pallas_myers_long(
                         a_codes, b_codes, a_len, b_len, lazy="device",
-                        pool_cache=self.pool_cache,
+                        pool_cache=self.pool_cache, **self._pallas_kw,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     self._warn_fallback(e, "host myers")
@@ -465,7 +476,7 @@ class BatchAligner:
                 try:
                     dev, post = batched_edit_distance_pallas_myers(
                         a_codes, b_codes, a_len, b_len, lazy="device",
-                        pool_cache=self.pool_cache,
+                        pool_cache=self.pool_cache, **self._pallas_kw,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     # graceful degradation: a kernel that cannot compile or
@@ -506,7 +517,8 @@ class BatchAligner:
 
                 try:
                     dev, post = batched_protein_align_pallas(
-                        a_codes, b_codes, a_len, b_len, lazy="device"
+                        a_codes, b_codes, a_len, b_len, lazy="device",
+                        interpret=self.pallas_interpret,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     # same graceful degradation as the DNA pallas path

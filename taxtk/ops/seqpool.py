@@ -39,14 +39,16 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _pool_append(dev, new, off):
     """Write `new` columns into the pool at column offset `off` (traced:
-    every append offset reuses one compiled variant per shape pair)."""
+    every append offset reuses one compiled variant per shape pair).  The
+    pool buffer is donated — appends update in place instead of briefly
+    holding two full pool copies on device."""
     return jax.lax.dynamic_update_slice(dev, new, (jnp.int32(0), off))
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=(0,))
 def _pool_grow(dev, cap: int):
     pad = jnp.full((dev.shape[0], cap - dev.shape[1]), -1, jnp.int8)
     return jnp.concatenate([dev, pad], axis=1)
@@ -114,29 +116,55 @@ class DevicePoolCache:
     ):
         """Returns (pool_dev, slots[int32 array over rows]).  Ships the
         rows whose content key is not yet resident, appended as one packed
-        block (pow2-padded column count)."""
-        if self._total_bytes() > self.budget:
-            self.pools.clear()
-            self.resets += 1
+        block (pow2-padded column count; only n_new columns are committed —
+        the pad tail is unreferenced and the next append overwrites it).
+
+        Slot assignments commit only AFTER the pack/append succeeds: a
+        failure mid-append (the aligner catches and falls back) must not
+        leave p.slots pointing at never-shipped columns, which would alias
+        later rows onto wrong data."""
         p = self.pool(bits, Hc)
         slots = np.empty(len(rows), np.int32)
         missing: List[int] = []
+        new_slots: Dict[Tuple[int, bytes], int] = {}
         for i, k in enumerate(keys):
             s = p.slots.get(k)
             if s is None:
+                s = new_slots.get(k)
+            if s is None:
                 s = p.n_used + len(missing)
-                p.slots[k] = s
+                new_slots[k] = s
                 missing.append(i)
             else:
                 self.hits += 1
             slots[i] = s
         if missing:
-            self.misses += len(missing)
             n_new = len(missing)
+            # pow2 pack width keeps the compiled-append ladder tiny
             n_pad = _pow2(n_new, minimum=64)
-            if p.n_used + n_pad > p.cap:
-                p.cap = _pow2(p.n_used + n_pad, minimum=p.cap * 2)
-                p.dev = _pool_grow(p.dev, p.cap)
+            need_cap = p.cap
+            if p.n_used + n_pad > need_cap:
+                need_cap = _pow2(p.n_used + n_pad, minimum=p.cap * 2)
+            cpb = 8 // bits
+            post_bytes = (
+                self._total_bytes() - p.nbytes + (Hc // cpb) * need_cap
+            )
+            if post_bytes > self.budget and (p.n_used or len(self.pools) > 1):
+                # reset BEFORE growing past the budget (reuse is between
+                # adjacent rounds, so a wholesale reset costs at most one
+                # round of re-shipping); a single over-budget append with
+                # nothing to evict goes through regardless
+                self.pools.clear()
+                self.resets += 1
+                p = self.pool(bits, Hc)
+                missing = list(range(len(rows)))
+                n_new = len(missing)
+                n_pad = _pow2(n_new, minimum=64)
+                new_slots = {k: i for i, k in enumerate(keys)}
+                slots = np.arange(len(rows), dtype=np.int32)
+                need_cap = p.cap
+                if n_pad > need_cap:
+                    need_cap = _pow2(n_pad, minimum=p.cap * 2)
             from .pallas_myers import _pack_text_pool
 
             mrows = [rows[i] for i in missing]
@@ -144,9 +172,24 @@ class DevicePoolCache:
             packed = _pack_text_pool(
                 mrows, mlens, np.ones(n_new, bool), Hc, n_pad, bits
             )
+            try:
+                if need_cap > p.cap:
+                    p.dev = _pool_grow(p.dev, need_cap)
+                    p.cap = need_cap
+                new_dev = _pool_append(
+                    p.dev, jnp.asarray(packed), jnp.int32(p.n_used)
+                )
+            except Exception:
+                # grow/append donate p.dev — a mid-execution failure may
+                # have invalidated it; drop the whole pool so the next
+                # round rebuilds from scratch instead of reading a dead
+                # (or half-written) buffer
+                self.pools.pop((bits, Hc), None)
+                raise
+            # commit point: everything above may raise without corrupting
+            self.misses += n_new
             self.bytes_shipped += packed.nbytes
-            p.dev = _pool_append(
-                p.dev, jnp.asarray(packed), jnp.int32(p.n_used)
-            )
-            p.n_used += n_pad
+            p.dev = new_dev
+            p.slots.update(new_slots)
+            p.n_used += n_new
         return p.dev, slots

@@ -18,8 +18,15 @@ jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import subprocess
+import warnings
 
 import pytest
+
+# seqpool donates its pool buffers (in-place appends on TPU); the CPU
+# backend does not implement donation and warns — expected here
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
 
 TOOLS_DIR = pathlib.Path(__file__).parent / "tools"
 FIXTURES_DIR = pathlib.Path(__file__).parent / "fixtures"

@@ -1,0 +1,312 @@
+"""Cross-round device-resident sequence pool (taxtk/ops/seqpool.py).
+
+VERDICT round-2 item 1: the pool cache is correctness-critical hot-path
+state (a stale or aliased slot silently corrupts edit distances), so these
+tests drive it three ways:
+
+  * unit level: slot reuse, capacity growth, budget reset, rollback on
+    pack/append failure, 2-bit vs 4-bit routing — with packed column
+    content verified against _pack_text_pool;
+  * kernel level: multi-round batched_edit_distance_pallas_myers (single
+    and pattern-block-chunked entry points) in interpret mode with a live
+    pool_cache, against the XLA Myers oracle;
+  * engine level: full RPA round-trips on CPU with the pool cache active,
+    byte-identical GFF3 vs the per-pair oracle aligner.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from taxtk.ops import seqpool
+from taxtk.ops.seqpool import DevicePoolCache
+from taxtk.ops.myers_batch import batched_edit_distance_myers
+from taxtk.ops.pallas_myers import (
+    _pack_text_pool,
+    batched_edit_distance_pallas_myers,
+    batched_edit_distance_pallas_myers_long,
+)
+
+from fixture_tax import make_taxonomy
+from test_rpa import DictStore, OracleAligner, _synthesize_case, run_engine
+
+
+def _rows(rng, n, lo=20, hi=90, alpha=4):
+    return [
+        rng.randint(0, alpha, rng.randint(lo, hi)).astype(np.uint8)
+        for _ in range(n)
+    ]
+
+
+def _keys(rows):
+    return [(len(r), r.tobytes()) for r in rows]
+
+
+def _lens(rows):
+    return np.asarray([len(r) for r in rows], np.int32)
+
+
+def _expected_column(row, Hc, bits):
+    return np.asarray(
+        _pack_text_pool([row], np.asarray([len(row)], np.int32),
+                        np.ones(1, bool), Hc, 1, bits)
+    )[:, 0]
+
+
+def _check_pool_contents(cache, bits, Hc, rows_by_key):
+    """Every committed slot's packed column equals the packing of the row
+    the key claims it holds."""
+    p = cache.pools[(bits, Hc)]
+    dev = np.asarray(p.dev)
+    for key, slot in p.slots.items():
+        row = rows_by_key[key]
+        np.testing.assert_array_equal(
+            dev[:, slot], _expected_column(row, Hc, bits),
+            err_msg=f"slot {slot} does not hold its claimed row",
+        )
+
+
+class TestEnsureUnit:
+    def test_slot_reuse_across_rounds(self):
+        rng = np.random.RandomState(0)
+        cache = DevicePoolCache()
+        bits, Hc = 4, 128
+        rows1 = _rows(rng, 10)
+        _, slots1 = cache.ensure(bits, Hc, _keys(rows1), rows1, _lens(rows1))
+        assert cache.misses == 10 and cache.hits == 0
+        # second round: 6 repeats + 4 new rows
+        rows2 = rows1[2:8] + _rows(rng, 4)
+        _, slots2 = cache.ensure(bits, Hc, _keys(rows2), rows2, _lens(rows2))
+        assert cache.hits == 6
+        assert cache.misses == 14
+        # repeated rows keep their original slots
+        np.testing.assert_array_equal(slots2[:6], slots1[2:8])
+        # new slots are contiguous after the committed count (not pow2-padded)
+        assert sorted(slots2[6:]) == [10, 11, 12, 13]
+        rows_by_key = {k: r for k, r in zip(_keys(rows1 + rows2), rows1 + rows2)}
+        _check_pool_contents(cache, bits, Hc, rows_by_key)
+
+    def test_capacity_growth_preserves_rows(self):
+        rng = np.random.RandomState(1)
+        cache = DevicePoolCache()
+        bits, Hc = 4, 128
+        all_rows = []
+        # 3 rounds x 300 unique rows forces growth past the 512 start cap
+        for _ in range(3):
+            rows = _rows(rng, 300)
+            all_rows.extend(rows)
+            cache.ensure(bits, Hc, _keys(rows), rows, _lens(rows))
+        p = cache.pools[(bits, Hc)]
+        assert p.cap >= 900 and p.n_used == 900
+        assert cache.resets == 0
+        rows_by_key = {k: r for k, r in zip(_keys(all_rows), all_rows)}
+        _check_pool_contents(cache, bits, Hc, rows_by_key)
+
+    def test_budget_reset(self):
+        rng = np.random.RandomState(2)
+        bits, Hc = 4, 128
+        # budget below two default pools: the second pool's first append
+        # (or the first pool's growth) triggers a wholesale reset
+        cache = DevicePoolCache(budget_bytes=(Hc // 2) * 600)
+        rows1 = _rows(rng, 10)
+        cache.ensure(bits, Hc, _keys(rows1), rows1, _lens(rows1))
+        rows2 = _rows(rng, 550)  # growth to 1024 columns exceeds the budget
+        dev2, slots2 = cache.ensure(bits, Hc, _keys(rows2), rows2, _lens(rows2))
+        assert cache.resets == 1
+        # after the reset every row of the round is freshly shipped from 0
+        np.testing.assert_array_equal(np.sort(slots2), np.arange(550))
+        assert (len(cache.pools), cache.pools[(bits, Hc)].n_used) == (1, 550)
+        rows_by_key = {k: r for k, r in zip(_keys(rows2), rows2)}
+        _check_pool_contents(cache, bits, Hc, rows_by_key)
+        # rows from before the reset are re-shipped on their next use; the
+        # pool is still over budget (nothing smaller can hold the round),
+        # so the next append resets again and ships from slot 0
+        _, slots1b = cache.ensure(bits, Hc, _keys(rows1), rows1, _lens(rows1))
+        assert cache.resets == 2
+        np.testing.assert_array_equal(slots1b, np.arange(10))
+        _check_pool_contents(
+            cache, bits, Hc, {k: r for k, r in zip(_keys(rows1), rows1)}
+        )
+
+    def test_rollback_on_pack_failure(self, monkeypatch):
+        """A pack failure must not commit slots pointing at never-shipped
+        columns (ADVICE round-2: two keys would alias one column)."""
+        rng = np.random.RandomState(3)
+        cache = DevicePoolCache()
+        bits, Hc = 4, 128
+        rows1 = _rows(rng, 5)
+        cache.ensure(bits, Hc, _keys(rows1), rows1, _lens(rows1))
+
+        import taxtk.ops.pallas_myers as pm
+
+        real_pack = pm._pack_text_pool
+
+        def boom(*a, **k):
+            raise RuntimeError("injected pack failure")
+
+        rows2 = _rows(rng, 5)
+        monkeypatch.setattr(pm, "_pack_text_pool", boom)
+        with pytest.raises(RuntimeError):
+            cache.ensure(bits, Hc, _keys(rows2), rows2, _lens(rows2))
+        monkeypatch.setattr(pm, "_pack_text_pool", real_pack)
+        p = cache.pools[(bits, Hc)]
+        assert p.n_used == 5 and len(p.slots) == 5  # nothing committed
+        # the failed rows ship cleanly on retry, no aliasing
+        _, slots2 = cache.ensure(bits, Hc, _keys(rows2), rows2, _lens(rows2))
+        assert sorted(slots2) == [5, 6, 7, 8, 9]
+        allrows = rows1 + rows2
+        _check_pool_contents(
+            cache, bits, Hc, {k: r for k, r in zip(_keys(allrows), allrows)}
+        )
+
+    def test_pool_dropped_on_append_failure(self, monkeypatch):
+        """grow/append donate the pool buffer; on failure the pool is
+        dropped wholesale so no dead buffer is ever read."""
+        rng = np.random.RandomState(4)
+        cache = DevicePoolCache()
+        bits, Hc = 4, 128
+        rows1 = _rows(rng, 5)
+        cache.ensure(bits, Hc, _keys(rows1), rows1, _lens(rows1))
+
+        def boom(*a, **k):
+            raise RuntimeError("injected append failure")
+
+        monkeypatch.setattr(seqpool, "_pool_append", boom)
+        rows2 = _rows(rng, 5)
+        with pytest.raises(RuntimeError):
+            cache.ensure(bits, Hc, _keys(rows2), rows2, _lens(rows2))
+        assert (bits, Hc) not in cache.pools
+        monkeypatch.undo()
+        both = rows1 + rows2
+        _, slots = cache.ensure(bits, Hc, _keys(both), both, _lens(both))
+        _check_pool_contents(
+            cache, bits, Hc, {k: r for k, r in zip(_keys(both), both)}
+        )
+
+    def test_bits_are_separate_pools(self):
+        rng = np.random.RandomState(5)
+        cache = DevicePoolCache()
+        rows = _rows(rng, 4)
+        cache.ensure(2, 128, _keys(rows), rows, _lens(rows))
+        cache.ensure(4, 128, _keys(rows), rows, _lens(rows))
+        assert set(cache.pools) == {(2, 128), (4, 128)}
+        _check_pool_contents(
+            cache, 2, 128, {k: r for k, r in zip(_keys(rows), rows)}
+        )
+        _check_pool_contents(
+            cache, 4, 128, {k: r for k, r in zip(_keys(rows), rows)}
+        )
+
+
+def _pad_pairs(pairs):
+    B = len(pairs)
+    M = max(len(a) for a, _ in pairs)
+    N = max(len(b) for _, b in pairs)
+    a_codes = np.zeros((B, M), np.uint8)
+    b_codes = np.zeros((B, N), np.uint8)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    for r, (a, b) in enumerate(pairs):
+        a_codes[r, : len(a)] = a
+        b_codes[r, : len(b)] = b
+        a_len[r], b_len[r] = len(a), len(b)
+    return a_codes, b_codes, a_len, b_len
+
+
+class TestKernelWithPoolCache:
+    @pytest.mark.parametrize("alpha", [4, 5])  # 2-bit (N-free) and 4-bit
+    def test_multi_round_single_launch(self, alpha):
+        rng = np.random.RandomState(10)
+        cache = DevicePoolCache()
+        seqs = _rows(rng, 12, lo=30, hi=120, alpha=alpha)
+        for rnd in range(3):
+            pairs = [
+                (seqs[rng.randint(len(seqs))], seqs[rng.randint(len(seqs))])
+                for _ in range(8)
+            ]
+            args = _pad_pairs(pairs)
+            got = batched_edit_distance_pallas_myers(
+                *args, interpret=True, pool_gather=True, pool_cache=cache
+            )
+            want = batched_edit_distance_myers(*args)
+            np.testing.assert_array_equal(got, want, err_msg=f"round {rnd}")
+        assert cache.hits > 0  # later rounds actually reused resident rows
+        bits = 2 if alpha == 4 else 4
+        assert any(k[0] == bits for k in cache.pools)
+
+    def test_multi_round_chunked_launch(self):
+        """Pattern-block-chunked path (long pairs) through the pool cache."""
+        rng = np.random.RandomState(11)
+        cache = DevicePoolCache()
+        seqs = _rows(rng, 6, lo=200, hi=400, alpha=4)
+        for rnd in range(2):
+            pairs = [
+                (seqs[rng.randint(len(seqs))], seqs[rng.randint(len(seqs))])
+                for _ in range(5)
+            ]
+            args = _pad_pairs(pairs)
+            got = batched_edit_distance_pallas_myers_long(
+                *args, interpret=True, pool_gather=True, pool_cache=cache,
+                text_chunk=64, block_words=4,
+            )
+            want = batched_edit_distance_myers(*args)
+            np.testing.assert_array_equal(got, want, err_msg=f"round {rnd}")
+        assert cache.hits > 0
+
+    def test_budget_reset_mid_stream_is_exact(self):
+        """Forcing resets between kernel rounds must not change results."""
+        rng = np.random.RandomState(12)
+        cache = DevicePoolCache(budget_bytes=1)  # every round resets
+        seqs = _rows(rng, 10, lo=30, hi=80, alpha=4)
+        for rnd in range(3):
+            pairs = [
+                (seqs[rng.randint(len(seqs))], seqs[rng.randint(len(seqs))])
+                for _ in range(6)
+            ]
+            args = _pad_pairs(pairs)
+            got = batched_edit_distance_pallas_myers(
+                *args, interpret=True, pool_gather=True, pool_cache=cache
+            )
+            np.testing.assert_array_equal(
+                got, batched_edit_distance_myers(*args)
+            )
+        assert cache.resets >= 2
+
+
+class TestEngineWithPoolCache:
+    def test_engine_gff3_byte_identical(self, tmp_path):
+        """Full RPA round-trips with the production pool cache active
+        (pallas interpret mode on CPU), vs the per-pair oracle aligner."""
+        from taxtk.engine.aligner import BatchAligner
+
+        tax = make_taxonomy(tmp_path, prune=True)
+        rng = random.Random(77)
+        recordsets, qseqs, refseqs = [], {}, {}
+        for case in range(8):
+            made = _synthesize_case(rng, tax)
+            if made is None:
+                continue
+            refs, qs, records = made
+            qid = f"q{case}"
+            for r in records:
+                r.query_identifier = qid
+                r.reference_identifier = f"c{case}_" + r.reference_identifier
+            refseqs.update({f"c{case}_" + k: v for k, v in refs.items()})
+            qseqs[qid] = qs["q0"]
+            recordsets.append(records)
+
+        out_oracle = run_engine(
+            tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+            aligner=OracleAligner("dna"),
+        )
+        aligner = BatchAligner(
+            "dna", dna_backend="myers-pallas", pallas_interpret=True
+        )
+        assert aligner.pool_cache is not None
+        out_pool = run_engine(
+            tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+            aligner=aligner,
+        )
+        assert out_pool == out_oracle
+        assert aligner.pool_cache.hits > 0  # cross-round reuse happened
