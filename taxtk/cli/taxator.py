@@ -139,8 +139,7 @@ def main(argv=None) -> int:
                 mesh = _make_mesh(args.mesh) if args.mesh else None
                 aligner = BatchAligner(
                     "protein" if protein else "dna",
-                    dna_backend=args.dna_backend
-                    or ("myers" if mesh is not None else None),
+                    dna_backend=args.dna_backend,
                     protein_backend=args.protein_backend,
                     mesh=mesh,
                 )

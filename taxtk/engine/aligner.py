@@ -135,9 +135,11 @@ class BatchAligner:
             else {}
         )
         # dp×tp engine backend (parallel/engine_mesh.py), set by RpaEngine
-        # when a mesh with a tp axis is in play: alignment batches then run
-        # tp-sharded (pairs on their refpack shard's column)
+        # when a mesh is in play: alignment batches then run per-device
+        # (pairs on their refpack shard's tp column, dp rows within it)
+        # through the full production dispatch path
         self.mesh_backend = None
+        self._pool_caches: Dict[object, object] = {}  # per-device (mesh mode)
 
     def _tick(self, name, t0):
         import time
@@ -228,84 +230,31 @@ class BatchAligner:
             host_thread = threading.Thread(target=_host_work)
             host_thread.start()
 
-        if (
-            work
-            and shard_ids is not None
-            and self.mode == "dna"
-            and self.mesh_backend is not None
-            and self.mesh_backend.tp > 1
-        ):
-            # tp-sharded SPMD round: pairs live on their refpack shard's tp
-            # column, dp splits within a column (parallel/engine_mesh.py)
-            t0 = _time.time()
-            groups: List[List[int]] = [[] for _ in range(self.mesh_backend.tp)]
-            for k in work:
-                groups[shard_ids[k]].append(k)
-            group_pairs = [[pairs[k] for k in g] for g in groups]
-            for k in work:
-                a, b = pairs[k]
-                self.cells_computed += len(a) * len(b)
-            try:
-                dists = self.mesh_backend.edit_distances_sharded(group_pairs)
-            except Exception as e:  # pragma: no cover - device-specific
-                self._warn_fallback(e, "single-device buckets")
-            else:
-                for g, dvec in zip(groups, dists):
-                    for k, d in zip(g, dvec):
-                        a, b = pairs[k]
-                        dist = int(d)
-                        lendiff = abs(len(a) - len(b))
-                        matches = min(len(a), len(b)) - (dist - lendiff)
-                        results[k] = AlignValue(
-                            distance=f32(dist), similarity=f32(matches)
-                        )
-                work = []
-            self._tick("device", t0)
-
-        buckets: Dict[Tuple[int, int], List[int]] = {}
-        if self.mode == "dna" and self.dna_backend in ("myers", "myers-pallas"):
-            # Myers cost is pairs x text x ceil(pattern/32): only the text
-            # length needs bucketing; everything else pads internally.  Far
-            # fewer buckets => fewer kernel rounds and device readbacks.
-            for k in work:
-                a, b = pairs[k]
-                key = (0, _pow2ceil(max(len(a), len(b))))
-                buckets.setdefault(key, []).append(k)
-        else:
-            # protein: one square bucket per pow2 of the max dimension —
-            # the wavefront kernel is cheap at these lengths and every
-            # extra bucket is another launch + H2D through the tunnel
-            for k in work:
-                a, b = pairs[k]
-                L = _pow2ceil(max(len(a), len(b)))
-                buckets.setdefault((L, L), []).append(k)
-
         # dispatch every bucket before blocking on any readback: kernels are
         # queued asynchronously and D2H copies start as each finishes, so
         # the ~170 ms/transfer tunnel latency overlaps with compute instead
         # of serializing one bucket at a time
         finishers = []
 
-        if tpu_long:
-            self._dispatch_tpu_long(pairs, tpu_long, results, finishers)
-        for (M, N), idxs in buckets.items():
-            if M == 0:
-                # Myers bucket: word-packed cost is ~cells/32.  Floor at one
-                # full pair tile (1024): the kernel ships [text, 1024]-wide
-                # arrays regardless of the real pair count, so filling the
-                # tile amortizes the H2D bytes over up to 32x more pairs
-                M = N
-                # floor: one full pair tile; cap: the canonical 8-tile
-                # group, keeping the compiled-shape set at two points
-                max_pairs = min(
-                    8192,
-                    max(1024, self.max_batch_cells // max(1, (M * N) // 32)),
-                )
-            else:
-                max_pairs = max(1, self.max_batch_cells // (M * N))
-            for off in range(0, len(idxs), max_pairs):
-                chunk = idxs[off : off + max_pairs]
-                self._run_bucket(pairs, chunk, M, N, results, finishers)
+        if self.mesh_backend is not None:
+            # dp×tp mesh round: every pair runs on the device owning its
+            # refpack shard's tp column (dp rows split within a column),
+            # through the FULL production dispatch path — same bucket
+            # ladder, 2-bit wire, device-built peq and per-device pool
+            # cache as single-chip; distances need no collectives (they
+            # are disjoint), so the parallelism is independent per-device
+            # programs dispatched asynchronously (the pass-0 reductions
+            # are the collective part, parallel/engine_mesh.py)
+            if shard_ids is None:  # tp=1: all pairs on column 0, dp spreads
+                shard_ids = [0] * len(pairs)
+            self._dispatch_mesh(
+                pairs, work, tpu_long, shard_ids, results, finishers
+            )
+        else:
+            self._dispatch_set(
+                pairs, work, tpu_long, results, finishers, self.pool_cache
+            )
+
         def finish():
             t0 = _time.time()
             # Wait for every dispatched bucket WITHOUT a readback: polling
@@ -350,7 +299,95 @@ class BatchAligner:
             return finish
         return finish()
 
-    def _dispatch_tpu_long(self, pairs, idxs_all, results, finishers):
+    def _dispatch_set(self, pairs, work, tpu_long, results, finishers,
+                      pool_cache):
+        """Dispatch one device's worth of pairs: long pairs through the
+        pattern-block-chunked kernel, everything else through the shape
+        buckets.  Runs under whatever jax default device is active."""
+        if tpu_long:
+            self._dispatch_tpu_long(
+                pairs, tpu_long, results, finishers, pool_cache
+            )
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        if self.mode == "dna" and self.dna_backend in ("myers", "myers-pallas"):
+            # Myers cost is pairs x text x ceil(pattern/32): only the text
+            # length needs bucketing; everything else pads internally.  Far
+            # fewer buckets => fewer kernel rounds and device readbacks.
+            for k in work:
+                a, b = pairs[k]
+                key = (0, _pow2ceil(max(len(a), len(b))))
+                buckets.setdefault(key, []).append(k)
+        else:
+            # protein: one square bucket per pow2 of the max dimension —
+            # the wavefront kernel is cheap at these lengths and every
+            # extra bucket is another launch + H2D through the tunnel
+            for k in work:
+                a, b = pairs[k]
+                L = _pow2ceil(max(len(a), len(b)))
+                buckets.setdefault((L, L), []).append(k)
+
+        for (M, N), idxs in buckets.items():
+            if M == 0:
+                # Myers bucket: word-packed cost is ~cells/32.  Floor at one
+                # full pair tile (1024): the kernel ships [text, 1024]-wide
+                # arrays regardless of the real pair count, so filling the
+                # tile amortizes the H2D bytes over up to 32x more pairs
+                M = N
+                # floor: one full pair tile; cap: the canonical 8-tile
+                # group, keeping the compiled-shape set at two points
+                max_pairs = min(
+                    8192,
+                    max(1024, self.max_batch_cells // max(1, (M * N) // 32)),
+                )
+            else:
+                max_pairs = max(1, self.max_batch_cells // (M * N))
+            for off in range(0, len(idxs), max_pairs):
+                chunk = idxs[off : off + max_pairs]
+                self._run_bucket(
+                    pairs, chunk, M, N, results, finishers, pool_cache
+                )
+
+    def _dispatch_mesh(self, pairs, work, tpu_long, shard_ids, results,
+                       finishers):
+        """Partition pairs over the dp×tp device grid (tp column = refpack
+        shard owning the pair's reference, dp row round-robin within the
+        column) and run the production dispatch per device.  Each device
+        keeps its own cross-round pool cache, so per-chip wire bytes match
+        the single-chip path."""
+        import jax
+
+        grid = self.mesh_backend.mesh.devices  # [dp, tp]
+        dp, tp = grid.shape
+        per_dev: Dict[Tuple[int, int], Tuple[List[int], List[int]]] = {}
+        rr = [0] * tp
+        for lst, slot in ((work, 0), (tpu_long, 1)):
+            for k in lst:
+                c = shard_ids[k]
+                r = rr[c] % dp
+                rr[c] += 1
+                per_dev.setdefault((r, c), ([], []))[slot].append(k)
+        for (r, c) in sorted(per_dev):
+            w, tl = per_dev[(r, c)]
+            dev = grid[r][c]
+            with jax.default_device(dev):
+                self._dispatch_set(
+                    pairs, w, tl, results, finishers, self._device_pool(dev)
+                )
+
+    def _device_pool(self, dev):
+        """Per-device cross-round pool cache (mesh mode): each device's
+        pool lives in its own HBM."""
+        if self.pool_cache is None:
+            return None
+        p = self._pool_caches.get(dev)
+        if p is None:
+            from ..ops.seqpool import DevicePoolCache
+
+            p = self._pool_caches[dev] = DevicePoolCache()
+        return p
+
+    def _dispatch_tpu_long(self, pairs, idxs_all, results, finishers,
+                           pool_cache=None):
         """Long-pattern pairs through the pattern-block-chunked pallas
         kernel (ops/pallas_myers.py), bucketed by pow2 text length and
         chunked to full pair tiles; falls back to the host batch on any
@@ -403,7 +440,7 @@ class BatchAligner:
                 try:
                     dev, post = batched_edit_distance_pallas_myers_long(
                         a_codes, b_codes, a_len, b_len, lazy="device",
-                        pool_cache=self.pool_cache, **self._pallas_kw,
+                        pool_cache=pool_cache, **self._pallas_kw,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     self._warn_fallback(e, "host myers")
@@ -419,7 +456,8 @@ class BatchAligner:
                 )
                 self._tick("device", t0)
 
-    def _run_bucket(self, pairs, idxs, M, N, results, finishers=None):
+    def _run_bucket(self, pairs, idxs, M, N, results, finishers=None,
+                    pool_cache=None):
         import time
 
         t0 = time.time()
@@ -461,7 +499,10 @@ class BatchAligner:
 
             pending = None
             if self.dna_backend == "myers":
-                if self.mesh is not None:
+                # dp-only shard_map path for a bare BatchAligner(mesh=...)
+                # without the engine backend; with a mesh_backend attached,
+                # _dispatch_mesh already owns device placement
+                if self.mesh is not None and self.mesh_backend is None:
                     fill_dna(self._myers_sharded(a_codes, b_codes, a_len, b_len))
                 else:
                     dev, post = batched_edit_distance_myers(
@@ -476,7 +517,7 @@ class BatchAligner:
                 try:
                     dev, post = batched_edit_distance_pallas_myers(
                         a_codes, b_codes, a_len, b_len, lazy="device",
-                        pool_cache=self.pool_cache, **self._pallas_kw,
+                        pool_cache=pool_cache, **self._pallas_kw,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     # graceful degradation: a kernel that cannot compile or

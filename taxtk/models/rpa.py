@@ -322,7 +322,10 @@ class RpaTask:
         pass-0 reductions — best-candidate tie-break, rtax LCA, all-nodes
         LCA and max support — and the host loop only fills the per-record
         distance/similarity state.  The logging path recomputes on host
-        (the decision log prints the incremental LCA chain)."""
+        (the decision log prints the incremental LCA chain) and then
+        CROSS-CHECKS the collective result against the host reductions —
+        a logged mesh run is a built-in differential test of the merge
+        (it fails loudly on divergence instead of silently bypassing)."""
         use_merged = merged is not None and not self.logging
         records = self.records
         n = self.n
@@ -411,6 +414,30 @@ class RpaTask:
             kept.append(i)
         if use_merged:
             rtax = int(merged["rtax"])
+        elif merged is not None:
+            # logged run: host reductions were just recomputed for the log
+            # chain — assert the collective merge agrees on every field
+            got = (
+                int(merged["best_slot"]),
+                f32(merged["best_dist"]),
+                f32(merged["best_sim"]),
+                int(merged["support"]),
+                int(merged["lca_allnodes"]),
+                int(merged["rtax"]),
+            )
+            want = (
+                index_best,
+                self.querydistance[index_best],
+                self.querysimilarity[index_best],
+                anchors_support,
+                lca_allnodes,
+                rtax,
+            )
+            if got != want:
+                raise RuntimeError(
+                    "collective pass-0 merge diverged from host reductions "
+                    f"for {self.qrseqname}: device={got} host={want}"
+                )
         self._log(
             f"    NUMALN\t{self.counters['p0']}\t"
             f"{self.counters['p0n'] - self.counters['p0']}"

@@ -1,15 +1,16 @@
-"""tp-sharded alignment rounds + collective pass-0 merge for the RPA engine.
+"""Collective pass-0 merge for the dp×tp mesh RPA engine.
 
 This is the production integration of the dp×tp mesh into `RpaEngine` (the
-round-1 `mesh.py` demo step, now load-bearing).  Two device programs:
+round-1 `mesh.py` demo step, now load-bearing).  The division of labor:
 
-1. **Sharded Myers round** — the pair batch of an engine alignment round is
-   laid out ``[tp, B, ...]`` with candidate pairs routed to the tp column
-   that owns their reference sequence (``refpack_shard_of``, the same stable
-   hash that shards the refpack itself).  Each ``(dp, tp)`` device runs the
-   bit-parallel Myers kernel on its slice; no communication is needed for
-   the distances themselves (they are disjoint), and the host gathers the
-   global ``[tp, B]`` result.
+1. **Alignment rounds** need no collectives — every pair's distance is
+   disjoint — so they run as independent per-device programs through the
+   FULL single-chip production dispatch (bucket ladder, 2-bit wire,
+   device-built peq, per-device pool cache): see
+   ``BatchAligner._dispatch_mesh`` (engine/aligner.py), which routes each
+   pair to the tp column owning its reference sequence
+   (``refpack_shard_of``, the same stable hash that shards the refpack
+   itself) and round-robins over dp rows within the column.
 
 2. **Pass-0 collective merge** — the reference reduces pass-0 candidates
    sequentially: the best candidate under the (distance asc, similarity
@@ -47,8 +48,6 @@ try:  # jax >= 0.8 promotes shard_map out of experimental
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.myers_batch import _myers_kernel, _precompute
-
 FLT_MAX = np.float32(np.finfo(np.float32).max)
 _BIG_I32 = np.int32(1 << 30)
 
@@ -70,7 +69,6 @@ class MeshEngineBackend:
         self.tp = int(mesh.shape["tp"])
         self._paths_host = np.asarray(path_matrix, np.int32)
         self._paths_dev = None  # replicated device copy, lazily placed
-        self._myers_cache: Dict[Tuple[int, int, int], object] = {}
         self._merge_cache: Dict[Tuple[int, int], object] = {}
 
     # ------------------------------------------------------------------ util
@@ -81,109 +79,6 @@ class MeshEngineBackend:
         if self._paths_dev is None:
             self._paths_dev = self._put(self._paths_host, P(None, None))
         return self._paths_dev
-
-    # ---------------------------------------------------- sharded Myers round
-    def _myers_step(self, K: int, N: int, Bp: int):
-        key = (K, N, Bp)
-        fn = self._myers_cache.get(key)
-        if fn is not None:
-            return fn
-
-        def local(peq, text, hmask, m_len, n_len):
-            # local shapes: peq [K, A, 1, b], text [N, 1, b], hmask [K, 1, b],
-            # m_len/n_len [1, b] with b = Bp // dp
-            k, a, _, b = peq.shape
-            dist = _myers_kernel(
-                peq.reshape(k, a, b),
-                text.reshape(text.shape[0], b),
-                hmask.reshape(k, b),
-                m_len.reshape(b),
-                n_len.reshape(b),
-            )
-            return dist.reshape(1, b)
-
-        fn = jax.jit(
-            shard_map(
-                local,
-                mesh=self.mesh,
-                in_specs=(
-                    P(None, None, "tp", "dp"),
-                    P(None, "tp", "dp"),
-                    P(None, "tp", "dp"),
-                    P("tp", "dp"),
-                    P("tp", "dp"),
-                ),
-                out_specs=P("tp", "dp"),
-            )
-        )
-        self._myers_cache[key] = fn
-        return fn
-
-    def edit_distances_sharded(
-        self, groups: Sequence[List[Tuple[np.ndarray, np.ndarray]]]
-    ) -> List[np.ndarray]:
-        """groups[t] = the (a_codes, b_codes) pairs owned by tp shard t.
-        Returns per-shard int distance arrays in the same order.
-
-        All shards pad to a common per-shard batch (multiple of dp) and a
-        common text width, so the whole round is ONE SPMD launch."""
-        tp, dp = self.tp, self.dp
-        assert len(groups) == tp, (len(groups), tp)
-        Bp = _pow2ceil(max(max((len(g) for g in groups), default=1), 1))
-        Bp = max(Bp, dp)
-        if Bp % dp:
-            Bp = -(-Bp // dp) * dp
-        W = 1
-        for g in groups:
-            for a, b in g:
-                W = max(W, len(a), len(b))
-
-        B = tp * Bp
-        a_codes = np.zeros((B, W), np.uint8)
-        b_codes = np.zeros((B, W), np.uint8)
-        a_len = np.ones(B, np.int32)  # dummy rows: 1x1 no-op alignments
-        b_len = np.ones(B, np.int32)
-        for t, g in enumerate(groups):
-            for j, (a, b) in enumerate(g):
-                r = t * Bp + j
-                a_codes[r, : len(a)] = a
-                b_codes[r, : len(b)] = b
-                a_len[r] = len(a)
-                b_len[r] = len(b)
-
-        peq, text, hmask, m_len, n_len, K = _precompute(
-            a_codes, b_codes, a_len, b_len
-        )
-        # pad K and N to powers of two to bound the compiled-shape set; the
-        # extra pattern blocks have hmask 0 (no score contribution) and the
-        # extra text rows are past every pair's harvest point n_len
-        Kp = _pow2ceil(K)
-        if Kp > K:
-            peq = np.concatenate(
-                [peq, np.zeros((Kp - K,) + peq.shape[1:], peq.dtype)], axis=0
-            )
-            hmask = np.concatenate(
-                [hmask, np.zeros((Kp - K, B), hmask.dtype)], axis=0
-            )
-        N = text.shape[0]
-        Np = _pow2ceil(N)
-        if Np > N:
-            text = np.concatenate(
-                [text, np.full((Np - N, B), 31, text.dtype)], axis=0
-            )
-
-        step = self._myers_step(Kp, Np, Bp)
-        out = step(
-            self._put(peq.reshape(Kp, peq.shape[1], tp, Bp), P(None, None, "tp", "dp")),
-            self._put(text.reshape(Np, tp, Bp), P(None, "tp", "dp")),
-            self._put(hmask.reshape(Kp, tp, Bp), P(None, "tp", "dp")),
-            self._put(m_len.reshape(tp, Bp), P("tp", "dp")),
-            self._put(n_len.reshape(tp, Bp), P("tp", "dp")),
-        )
-        host = np.asarray(out).reshape(B)
-        # zero-width patterns have no bit-machinery mode (cf. myers_batch)
-        host = np.where(m_len == 0, n_len, host)
-        return [host[t * Bp : t * Bp + len(g)] for t, g in enumerate(groups)]
 
     # ------------------------------------------------------- pass-0 merge step
     def _merge_step(self, Tp: int, Rp: int):

@@ -56,6 +56,85 @@ def test_tp_sharded_engine_byte_identical(tmp_path, tp):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_production_pallas_path(tmp_path):
+    """The mesh engine runs the PRODUCTION TPU dispatch per device — pallas
+    Myers kernel (interpret mode on CPU), 2-bit wire and a per-device pool
+    cache — and stays byte-identical (VERDICT round-2 item 2: the mesh path
+    must not forfeit the single-chip kernel optimizations)."""
+    tax, qseqs, refseqs, recordsets = _make_corpus(tmp_path, seed=21)
+    out_single = run_engine(
+        tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+        aligner=OracleAligner("dna"),
+    )
+    mesh = make_mesh(8, tp=2)
+    aligner = BatchAligner(
+        "dna", dna_backend="myers-pallas", mesh=mesh, pallas_interpret=True
+    )
+    out_mesh = run_engine(
+        tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+        aligner=aligner, mesh=mesh,
+    )
+    assert out_mesh == out_single
+    # per-device pool caches were actually exercised (one per device used)
+    assert aligner._pool_caches, "mesh dispatch never created device pools"
+    total = sum(c.hits + c.misses for c in aligner._pool_caches.values())
+    assert total > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("tp", [2, 4])
+def test_protein_mesh_byte_identical(tmp_path, tp):
+    """Protein on the dp×tp mesh: pairs route per refpack shard and the
+    pass-0 collective merge runs mode-agnostically (VERDICT round-2 item 3;
+    reference parallel contract: taxator.cpp:181-210)."""
+    import random as _random
+
+    tax = make_taxonomy(tmp_path, prune=True)
+    rng = _random.Random(4242)
+    AA = "ACDEFGHIKLMNPQRSTVWY"
+    leaves = ["2111111", "2111112", "2111121", "2211111", "31", "21121"]
+    refseqs, qseqs, recordsets = {}, {}, []
+    from test_rpa import _aln
+
+    for case in range(8):
+        mapping = {}
+        for k, taxid in enumerate(leaves):
+            rid = f"c{case}_p{k}"
+            refseqs[rid] = "".join(rng.choice(AA) for _ in range(150))
+            mapping[rid] = taxid
+        src = f"c{case}_p{rng.randrange(len(leaves))}"
+        base = refseqs[src][20:100]
+        query = "".join(
+            c if rng.random() > 0.08 else rng.choice(AA) for c in base
+        )
+        qid = f"pq{case}"
+        qseqs[qid] = query
+        qlen = len(query)
+        records = []
+        for rid in mapping:
+            if rng.random() < 0.2:
+                continue
+            ident = rng.randrange(40, 75)
+            rec = _aln(qid, 1, qlen, qlen, rid, 21, 100, 50 + ident, ident, 80)
+            rec.reference_node = tax.node(mapping[rid])
+            records.append(rec)
+        if records:
+            recordsets.append(records)
+
+    out_single = run_engine(
+        tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+        aligner=OracleAligner("protein"), protein=True,
+    )
+    mesh = make_mesh(8, tp=tp)
+    aligner = BatchAligner("protein", mesh=mesh)
+    out_mesh = run_engine(
+        tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+        aligner=aligner, mesh=mesh, protein=True,
+    )
+    assert out_mesh == out_single
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_pass0_merge_matches_host_reduction(tmp_path):
     """The collective merge result equals the host loop's reductions on
     every task (device is authoritative in the engine — verify directly)."""
@@ -116,3 +195,48 @@ def test_pass0_merge_matches_host_reduction(tmp_path):
             [r.reference_node for r in t.records]
         )
         assert int(m["support"]) == max(int(s) for s in sims)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_logged_run_cross_checks_merge(tmp_path):
+    """A logged (-l) mesh run recomputes the pass-0 reductions on host for
+    the decision log AND verifies the collective merge against them
+    (VERDICT round-2 item 8: no silent bypass under logging)."""
+    import io
+
+    from taxtk.engine.executor import RpaEngine
+
+    tax, qseqs, refseqs, recordsets = _make_corpus(tmp_path, seed=7)
+    mesh = make_mesh(8, tp=2)
+
+    def run_logged(corrupt=False):
+        aligner = BatchAligner("dna", dna_backend="myers", mesh=mesh)
+        eng = RpaEngine(
+            tax, DictStore(qseqs), DictStore(refseqs), aligner=aligner,
+            mesh=mesh, logsink=io.StringIO(),
+        )
+        if corrupt:
+            backend = eng.mesh_backend
+            real = backend.pass0_merge
+
+            def bad(per_shard_rows, T):
+                out = real(per_shard_rows, T)
+                out["rtax"] = out["rtax"] * 0 + 12345  # poison the LCA
+                return out
+
+            backend.pass0_merge = bad
+        out = io.StringIO()
+        eng.run(iter(recordsets), out)
+        return out.getvalue(), eng.logsink.getvalue()
+
+    out_logged, log = run_logged()
+    assert "PASS\t0" in log  # the decision log was actually produced
+    out_single = run_engine(
+        tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+        aligner=OracleAligner("dna"),
+    )
+    assert out_logged == out_single
+
+    # a diverging merge must fail loudly, not silently fall back to host
+    with pytest.raises(RuntimeError, match="collective pass-0 merge diverged"):
+        run_logged(corrupt=True)
