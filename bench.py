@@ -46,7 +46,7 @@ NREP = 5  # timed reps; report median + IQR
 ROOFLINE_GCUPS = 3400.0  # v5e VPU analytic speed-of-light (see BASELINE.md)
 
 
-def _run_with_watchdog(timeout_s=1500):
+def _run_with_watchdog(timeout_s=2400):
     """Run the device measurement in a subprocess so a hung remote TPU
     compile cannot stall the driver; fall back to the CPU backend."""
     import os
@@ -192,23 +192,63 @@ def main():
         vs_baseline = value / cpu_gcups
         assert (device_result[:n] == cpu_out).all(), "kernel vs native mismatch"
 
-    print(
-        json.dumps(
-            {
-                "metric": f"rpa_dna_alignment_throughput_{platform}",
-                "value": round(value, 1),
-                "unit": "GCUPS/chip",
-                "vs_baseline": round(vs_baseline, 1),
-                "protocol": f"median of {nrep} reps x {rounds} rounds, "
-                            f"{len(sets)} distinct input sets, one-sync",
-                "shape": f"{B}x{L}" if platform != "cpu" else "512x512",
-                "iqr_pct": round(iqr_pct, 1),
-                "roofline_pct": round(100.0 * value / ROOFLINE_GCUPS, 1)
-                if platform != "cpu"
-                else None,
-            }
+    result = {
+        "metric": f"rpa_dna_alignment_throughput_{platform}",
+        "value": round(value, 1),
+        "unit": "GCUPS/chip",
+        "vs_baseline": round(vs_baseline, 1),
+        "protocol": f"median of {nrep} reps x {rounds} rounds, "
+                    f"{len(sets)} distinct input sets, one-sync",
+        "shape": f"{B}x{L}" if platform != "cpu" else "512x512",
+        "iqr_pct": round(iqr_pct, 1),
+        "roofline_pct": round(100.0 * value / ROOFLINE_GCUPS, 1)
+        if platform != "cpu"
+        else None,
+    }
+    result.update(_bench_e2e(platform))
+    print(json.dumps(result))
+
+
+def _bench_e2e(platform):
+    """End-to-end engine throughput (the BASELINE.json north-star metric:
+    Mbp classified/hour) with the kernel bench's protocol: fixed synthetic
+    config-4-style workload (300 contigs 1-20 kbp, segment splits, revcomp,
+    skewed candidate counts), one warm-up engine run, then E2E_REPS timed
+    runs; report the MEDIAN and IQR.  Returns {} on any failure so the
+    kernel metric is never lost."""
+    import os
+    import sys
+    import tempfile
+
+    E2E_CONTIGS, E2E_REPS = 300, 3
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import bench_e2e
+
+        from taxtk.constants import DEFAULT_RANKS
+
+        backend = "native" if platform == "cpu" else None
+        with tempfile.TemporaryDirectory() as d:
+            paths = bench_e2e.make_workload(d, E2E_CONTIGS)
+            runs = []
+            for rep in range(E2E_REPS + 1):  # first run = warm-up/compile
+                r = bench_e2e.run_once(paths, list(DEFAULT_RANKS), backend)
+                if rep > 0:
+                    runs.append(r)
+        mbph = sorted(
+            r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0) for r in runs
         )
-    )
+        med = mbph[len(mbph) // 2]
+        iqr = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
+        return {
+            "e2e_mbp_per_hour": round(med, 1),
+            "e2e_iqr_pct": round(iqr, 1),
+            "e2e_protocol": f"median of {E2E_REPS} warm engine runs, "
+                            f"{E2E_CONTIGS} contigs 1-20kbp, "
+                            f"{runs[0]['cells']:.2e} DP cells/run",
+        }
+    except Exception as e:  # pragma: no cover - environment-specific
+        return {"e2e_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 if __name__ == "__main__":

@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="TRACE_DIR",
                    help="write a jax profiler trace of the run")
     p.add_argument("--dna-backend",
-                   choices=["myers", "myers-pallas", "wavefront"],
+                   choices=["myers", "myers-pallas", "native", "wavefront"],
                    help="alignment kernel backend (default: auto)")
     p.add_argument("--protein-backend",
                    choices=["wavefront", "wavefront-pallas"],

@@ -74,7 +74,8 @@ class BatchAligner:
     (BLOSUM62 NW + traceback stats).
 
     dna_backend: "myers" (XLA bit-parallel, portable), "myers-pallas"
-    (TPU kernel), or "wavefront" (anti-diagonal scan).  All are exact;
+    (TPU kernel), "native" (C++ work-stealing host batch — fastest with
+    no accelerator), or "wavefront" (anti-diagonal scan).  All are exact;
     see ops/myers_batch.py for the algorithmic comparison.
     """
 
@@ -149,6 +150,9 @@ class BatchAligner:
         )
 
     def _run_host_long(self, pairs, idxs, results):
+        for k in idxs:
+            a, b = pairs[k]
+            self.cells_computed += len(a) * len(b)
         try:
             from ..native import myers_batch, load
 
@@ -189,12 +193,19 @@ class BatchAligner:
 
         # degenerate pairs resolved on host; very long DNA patterns (peq
         # would exceed the VMEM budget) route to the native host Myers
+        native_all = self.mode == "dna" and self.dna_backend == "native"
         work: List[int] = []
         tpu_long: List[int] = []
         host_long: List[int] = []
         for k, (a, b) in enumerate(pairs):
             if len(a) == 0 or len(b) == 0:
                 results[k] = self._empty_pair(len(a), len(b))
+            elif native_all:
+                # "native" backend: the whole DNA batch through the C++
+                # work-stealing Myers (taxtk/native/myers.cpp) on the host
+                # thread pool — the fastest path when no accelerator is
+                # attached (CPU pipelines, config-5 scale runs)
+                host_long.append(k)
             elif (
                 self.mode == "dna"
                 and self.dna_backend in ("myers", "myers-pallas")

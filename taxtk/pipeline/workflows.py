@@ -12,7 +12,6 @@ restartable checkpoints exactly like the reference
 from __future__ import annotations
 
 import gzip
-import io
 import os
 import shutil
 import subprocess
@@ -25,7 +24,7 @@ from ..engine.recordsets import iter_record_sets
 from ..formats.alignments import iter_alignment_records
 from ..formats.mapping import load_seqid_taxid_mapping
 from ..binning.binner import run_binner
-from ..refpack.store import IndexedFastaStore, InMemoryFastaStore
+from ..refpack.store import IndexedFastaStore
 from ..taxonomy.flat import parse_ncbi_flat_files
 from ..utils.errors import TaxtkError, FileError
 from .summaries import binning_to_summary, taxonomy_version_hash
@@ -80,14 +79,80 @@ def _which(prog: str) -> Optional[str]:
     return shutil.which(prog)
 
 
-def _sorted_fallback(engine, resolved, fh) -> None:
-    """In-memory sort fallback when coreutils `sort` is unavailable; matches
-    `LC_ALL=C sort -k1,1` (key-1 compare, whole line as last resort)."""
-    buf = io.StringIO()
-    engine.run(iter_record_sets(resolved(), True, False), buf)
-    lines = buf.getvalue().splitlines()
-    lines.sort(key=lambda l: (l.split("\t", 1)[0], l))
-    fh.write("".join(l + "\n" for l in lines))
+class _MergeSortWriter:
+    """Bounded-memory `LC_ALL=C sort -k1,1` replacement (key-1 compare,
+    whole line as last resort): buffers up to `chunk_lines` GFF3 lines,
+    spills each sorted chunk to a tempfile, and k-way heap-merges the runs
+    on finish().  Used when coreutils `sort` is unavailable so the
+    streaming contract holds at config-5 scale either way."""
+
+    def __init__(self, out_fh, tmpdir: str, chunk_lines: int = 200_000):
+        self.out = out_fh
+        self.tmpdir = tmpdir
+        self.chunk_lines = chunk_lines
+        self.buf: list = []
+        self.runs: list = []
+        self._tail = ""
+
+    @staticmethod
+    def _key(line: str):
+        return (line.split("\t", 1)[0], line)
+
+    def write(self, text: str) -> int:
+        data = self._tail + text
+        lines = data.split("\n")
+        self._tail = lines.pop()  # incomplete last line (or "")
+        self.buf.extend(lines)
+        if len(self.buf) >= self.chunk_lines:
+            self._spill()
+        return len(text)
+
+    def _spill(self) -> None:
+        if not self.buf:
+            return
+        import tempfile
+
+        self.buf.sort(key=self._key)
+        fh = tempfile.TemporaryFile("w+", dir=self.tmpdir)
+        fh.write("".join(l + "\n" for l in self.buf))
+        fh.seek(0)
+        self.runs.append(fh)
+        self.buf = []
+
+    def finish(self) -> None:
+        import heapq
+
+        if self._tail:
+            self.buf.append(self._tail)
+            self._tail = ""
+        if not self.runs:  # everything fit in one chunk
+            self.buf.sort(key=self._key)
+            self.out.write("".join(l + "\n" for l in self.buf))
+            self.buf = []
+            return
+        self._spill()
+        streams = [(self._key(l := f.readline().rstrip("\n")), l, f)
+                   for f in self.runs]
+        heap = [(k, i, l) for i, (k, l, _) in enumerate(streams)]
+        heapq.heapify(heap)
+        while heap:
+            k, i, line = heapq.heappop(heap)
+            self.out.write(line + "\n")
+            nxt = streams[i][2].readline()
+            if nxt:
+                nl = nxt.rstrip("\n")
+                heapq.heappush(heap, (self._key(nl), i, nl))
+        for f in self.runs:
+            f.close()
+        self.runs = []
+
+
+def _sorted_fallback(engine, resolved, fh, tmpdir: str) -> None:
+    """Tempfile merge-sort fallback when coreutils `sort` is unavailable;
+    matches `LC_ALL=C sort -k1,1` with bounded memory."""
+    w = _MergeSortWriter(fh, tmpdir)
+    engine.run(iter_record_sets(resolved(), True, False), w)
+    w.finish()
 
 
 def run_aligner_blast(refpack: Refpack, input_fasta: str, out_path: str,
@@ -257,8 +322,12 @@ def run_binning_workflow(
             shutil.copyfileobj(src, dst)
         os.unlink(tmp)
 
-    # stage 2: taxator (RPA)
-    query_store = InMemoryFastaStore(input_fasta)
+    # stage 2: taxator (RPA).  Queries are served from the indexed on-disk
+    # store (.fai built on first use): each task reads only its covered
+    # range, so a config-5-scale query set (1M contigs) never needs to fit
+    # in memory (reference indexed query access: sequencestorage.hh:319-406,
+    # taxator -q/-v)
+    query_store = IndexedFastaStore(input_fasta)
     db_store = IndexedFastaStore(refpack.refdata, refpack.refdata_index)
 
     def resolved():
@@ -305,8 +374,8 @@ def run_binning_workflow(
                 rc = proc.wait()
             if rc != 0:
                 raise TaxtkError(f"sort failed with exit code {rc}")
-        else:  # pragma: no cover - sort is coreutils
-            _sorted_fallback(engine, resolved, fh)
+        else:
+            _sorted_fallback(engine, resolved, fh, outdir)
 
     # stage 3: binner
     binning_path = os.path.join(outdir, SAMPLE_NAME + ".binning")

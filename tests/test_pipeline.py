@@ -126,6 +126,60 @@ class TestWorkflow:
             assert sum(mags) == sum(int(l.split("\t")[col]) for l in summary)
 
 
+class TestMergeSortFallback:
+    def test_matches_coreutils_sort_semantics(self, tmp_path):
+        """_MergeSortWriter == `LC_ALL=C sort -k1,1` on multi-run input
+        (chunk size forced tiny so several tempfile runs merge)."""
+        import random as _random
+
+        from taxtk.pipeline.workflows import _MergeSortWriter
+
+        rng = _random.Random(5)
+        lines = ["##gff-version 3"]
+        for k in range(500):
+            qid = f"c{rng.randrange(60)}"
+            lines.append(f"{qid}\ttaxator-tk\tsequence_feature\t{k}")
+        out = io.StringIO()
+        w = _MergeSortWriter(out, str(tmp_path), chunk_lines=64)
+        # write in ragged pieces to exercise the partial-line buffer
+        text = "".join(l + "\n" for l in lines)
+        pos = 0
+        while pos < len(text):
+            step = rng.randrange(1, 200)
+            w.write(text[pos : pos + step])
+            pos += step
+        w.finish()
+        assert len(w.runs) == 0  # all runs merged and closed
+        expected = sorted(lines, key=lambda l: (l.split("\t", 1)[0], l))
+        assert out.getvalue() == "".join(l + "\n" for l in expected)
+        assert out.getvalue().splitlines()[0] == "##gff-version 3"
+
+    def test_fallback_gff3_identical_to_sort_path(self, refpack_dir, tmp_path,
+                                                  monkeypatch):
+        """Workflow with coreutils sort vs the tempfile merge fallback:
+        byte-identical sample.gff3."""
+        import taxtk.pipeline.workflows as wf
+
+        out_sort = str(tmp_path / "out_sort")
+        paths_sort = run_binning_workflow(
+            refpack_dir["root"], refpack_dir["qfile"], out_sort,
+            alignments_file=refpack_dir["aln"],
+        )
+        real_which = wf._which
+        monkeypatch.setattr(
+            wf, "_which", lambda p: None if p == "sort" else real_which(p)
+        )
+        out_fb = str(tmp_path / "out_fb")
+        paths_fb = run_binning_workflow(
+            refpack_dir["root"], refpack_dir["qfile"], out_fb,
+            alignments_file=refpack_dir["aln"],
+        )
+        assert open(paths_fb["gff3"]).read() == open(paths_sort["gff3"]).read()
+        assert (
+            open(paths_fb["binning"]).read() == open(paths_sort["binning"]).read()
+        )
+
+
 MAF_TEXT = """# LAST version 1170
 #
 # a=7 b=1 A=7 B=1 e=40
