@@ -43,7 +43,10 @@ B, L = 8192, 2048  # canonical 8-tile group, K=64 register fast path
 SETS = 4  # distinct device-resident input sets, cycled
 ROUNDS = 16  # launches per timed rep (~2.7e11 cells)
 NREP = 5  # timed reps; report median + IQR
-ROOFLINE_GCUPS = 3400.0  # v5e VPU analytic speed-of-light (see BASELINE.md)
+# v5e VPU analytic speed-of-light for the current op mix (~33 ops per
+# 32-cell word-step after the round-3 harvest diet; was 3400 at 36 ops —
+# see ops/pallas_myers.py module doc)
+ROOFLINE_GCUPS = 3700.0
 
 
 def _run_with_watchdog(timeout_s=2400):

@@ -9,11 +9,13 @@ chunks, so arbitrarily long texts stream through a bounded VMEM window.
 Op count per (text char x 32-cell pattern block), for the roofline in
 bench.py / BASELINE.md: peq select chain 10 (4 cmp+select pairs + the
 sentinel reject), core Myers recurrences 13 (eq/xv/add/xh/ph/mh/new_pv/
-new_mv), score harvest 6 (two masked +-1 updates), carry shifts 6 —
-~36 VPU ops per 32 cells = ~1.125 ops/DP-cell, versus ~12 ops/cell for
-the wavefront formulation.  v5e VPU peak (8x128 lanes x 4 ALUs x
+new_mv), score-harvest accumulate 4 (the single-bit hmask hits OR-fold
+across pattern words; the +-1 evaluation runs once per text char, ~4/K
+amortized), carry shifts 6 — ~33 VPU ops per 32 cells = ~1.03
+ops/DP-cell (was 36/1.125 before the harvest diet), versus ~12 ops/cell
+for the wavefront formulation.  v5e VPU peak (8x128 lanes x 4 ALUs x
 0.94 GHz = 3.85e12 int32 op/s) puts this kernel's speed-of-light at
-~3.4e3 GCUPS; bench.py reports delivered GCUPS against that roofline.
+~3.7e3 GCUPS; bench.py reports delivered GCUPS against that roofline.
 """
 
 from __future__ import annotations
@@ -132,7 +134,13 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int, bits: int = 4):
             else:
                 packed = text_ref[jj >> 1].astype(jnp.int32)
                 tc = (packed >> ((jj & 1) * 4)) & 15
-            delta = jnp.zeros((SUB, LANE), jnp.int32)
+            # score-harvest diet: hm is a SINGLE bit in exactly one word k
+            # per pair, so the per-word masked bits OR-accumulate losslessly
+            # into one register each and the (!=0 -> +-1) evaluation happens
+            # ONCE per text char instead of once per pattern word (saves
+            # ~4 VPU ops per word-step; see the op count in the module doc)
+            ph_hit = jnp.zeros((SUB, LANE), jnp.uint32)
+            mh_hit = jnp.zeros((SUB, LANE), jnp.uint32)
             carry_ph = jnp.ones((SUB, LANE), jnp.uint32)
             carry_mh = jnp.zeros((SUB, LANE), jnp.uint32)
             new_pvs = []
@@ -152,15 +160,19 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int, bits: int = 4):
                 ph = mv_k | ~(xh | pv_k)
                 mh = pv_k & xh
                 hm = hmask_ref[k]
-                delta = delta + ((ph & hm) != 0).astype(jnp.int32)
-                delta = delta - ((mh & hm) != 0).astype(jnp.int32)
+                ph_hit = ph_hit | (ph & hm)
+                mh_hit = mh_hit | (mh & hm)
                 ph_shift = (ph << 1) | carry_ph
                 mh_shift = (mh << 1) | carry_mh
                 carry_ph = ph >> 31
                 carry_mh = mh >> 31
                 new_pvs.append(mh_shift | ~(xv | ph_shift))
                 new_mvs.append(ph_shift & xv)
-            score = score + delta
+            score = (
+                score
+                + (ph_hit != 0).astype(jnp.int32)
+                - (mh_hit != 0).astype(jnp.int32)
+            )
             j = base_j + jj + 1
             res = jnp.where(j == n_len, score, res)
             return (tuple(new_pvs), tuple(new_mvs), score, res)
@@ -243,7 +255,11 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
             hpack = hin_ref[jj].astype(jnp.int32)
             carry_ph = (hpack & 1).astype(jnp.uint32)
             carry_mh = ((hpack >> 1) & 1).astype(jnp.uint32)
-            delta = jnp.zeros((SUB, LANE), jnp.int32)
+            # score-harvest diet: OR-accumulate the single-bit masked hits
+            # across pattern words, evaluate +-1 once per char (see the
+            # single-launch kernel)
+            ph_hit = jnp.zeros((SUB, LANE), jnp.uint32)
+            mh_hit = jnp.zeros((SUB, LANE), jnp.uint32)
             new_pvs = []
             new_mvs = []
             for k in range(K):
@@ -261,8 +277,8 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
                 ph = mv_k | ~(xh | pv_k)
                 mh = pv_k & xh
                 hm = hmask_ref[k]
-                delta = delta + ((ph & hm) != 0).astype(jnp.int32)
-                delta = delta - ((mh & hm) != 0).astype(jnp.int32)
+                ph_hit = ph_hit | (ph & hm)
+                mh_hit = mh_hit | (mh & hm)
                 ph_shift = (ph << 1) | carry_ph
                 mh_shift = (mh << 1) | carry_mh
                 carry_ph = ph >> 31
@@ -270,6 +286,9 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
                 new_pvs.append(mh_shift | ~(xv | ph_shift))
                 new_mvs.append(ph_shift & xv)
             hout_ref[jj] = (carry_ph | (carry_mh << 1)).astype(jnp.int8)
+            delta = (ph_hit != 0).astype(jnp.int32) - (
+                mh_hit != 0
+            ).astype(jnp.int32)
             j = base_j + jj + 1
             # freeze the score past each pair's own text end: the carried
             # score is re-harvested at j == n_len by EVERY later launch, so

@@ -59,3 +59,43 @@ def test_fetch_encode_protein(tmp_path):
 
 def test_native_myers_available():
     assert load_myers() is not None
+
+
+def test_native_backend_aligner_matches_oracle():
+    """BatchAligner(dna_backend="native") routes every DNA pair through the
+    C++ work-stealing Myers batch and matches the oracle exactly (including
+    empty pairs and the long-pattern sizes that would bypass device paths)."""
+    from taxtk.engine.aligner import BatchAligner
+    from taxtk.ops import oracle
+
+    if load_myers() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    pairs = []
+    for _ in range(40):
+        la = int(rng.randint(0, 900))
+        lb = int(rng.randint(1, 900))
+        pairs.append(
+            (
+                rng.randint(0, 5, la).astype(np.uint8),
+                rng.randint(0, 5, lb).astype(np.uint8),
+            )
+        )
+    pairs.append((np.zeros(0, np.uint8), np.zeros(5, np.uint8)))
+    # one pair past the device long-pattern threshold
+    pairs.append(
+        (
+            rng.randint(0, 4, 7000).astype(np.uint8),
+            rng.randint(0, 4, 7100).astype(np.uint8),
+        )
+    )
+    al = BatchAligner("dna", dna_backend="native")
+    vals = al.align_pairs(pairs)
+    for (a, b), v in zip(pairs, vals):
+        if len(a) == 0 or len(b) == 0:
+            assert v.distance == max(len(a), len(b))
+            continue
+        r = oracle.dna_align(a, b)
+        assert v.distance == np.float32(r.distance), (len(a), len(b))
+        assert v.similarity == np.float32(r.similarity)
+    assert al.cells_computed > 0
