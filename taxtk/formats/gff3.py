@@ -34,7 +34,27 @@ class PredictionRecord:
 
     taxon_support[0] is the support at the upper node's depth, the last entry
     the support at the lower node (reference: predictionrecord.hh:72-87).
+
+    __slots__ keeps the per-record footprint small: the binner holds every
+    sample record in memory for sample-wide support accounting (same
+    O(records) design as reference binner.cpp STEP 0), so at config-5
+    scale (1M records) the dict-per-object overhead would dominate RSS.
     """
+
+    __slots__ = (
+        "tax",
+        "query_identifier",
+        "query_length",
+        "query_feature_begin",
+        "query_feature_end",
+        "lower_node",
+        "upper_node",
+        "rtax",
+        "interpolation_value",
+        "signal_strength",
+        "taxon_support",
+        "binning_type",
+    )
 
     def __init__(self, tax: FlatTaxonomy):
         self.tax = tax
