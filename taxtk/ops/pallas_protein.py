@@ -47,6 +47,34 @@ v4 also computes the per-pair BLOSUM self-scores on device (a table
 gather + masked sum over the already-shipped uint8 code arrays), so the
 host post-processing is O(B) and the D2H readback is one [3, B] vector.
 
+Kernel v5: **op diet** (three lossless trims, measured together ~1.3x):
+
+* **5-bit clamped codes.**  All codes (27 residues + sentinel) clamp to
+  [0, 31] on device before the kernel; the packed profile table carries
+  32 nibble slots per word group, with sentinel columns scoring the
+  benign -4 instead of -inf.  Correct because garbage cells (pattern pad
+  lanes, text positions past blen, pre-arrival lanes) can never feed the
+  harvested answer cell: DP dependencies flow forward in text index, the
+  answer (alen, blen) freezes at its target diagonal, and each lane's
+  pre-arrival garbage is overwritten by the text-side boundary write the
+  step before its first real cell.  Kills the `valid` compare + select
+  and the -2^24 boundary constant.
+* **Tie-break restructure.**  `max(s_prev, s_prev_s) + gap` replaces the
+  separate v_val/h_val adds, and `take_h = ~take_d & (s_prev >=
+  s_prev_s)` replaces the h_val == best compare (equivalent: when the
+  diagonal arm loses, horizontal wins exactly when it beats-or-ties the
+  vertical arm).
+* **Phase-split loop: measured NEGATIVE.**  The text-side boundary
+  write only fires while d <= Mp and the freeze select cannot fire
+  while d <= min(target_d), so splitting the loop to drop them looked
+  like a free ~20% — but on v5e a static 2-way split measured 1.72 ms
+  and a dynamic (SMEM min-target bound) 3-way split 1.9-4.3 ms, vs
+  1.53 ms for the single static loop: Mosaic's hardware-loop path needs
+  a single static trip count, and loop-boundary overhead exceeds the
+  saved selects.  int16 carries are also a toolchain dead end: Mosaic
+  rejects both `tpu.dynamic_rotate` ("Rotate with non-32-bit data") and
+  `arith.maxsi` on int16 vectors (benchmarks/probe_int16_step.py).
+
 Semantics identical to protein_align._protein_kernel (SeqAn tie-break:
 diagonal > consume-B > consume-A); tested equal in interpret mode and on
 device (reference: taxonpredictionmodelsequence.hh:173-242).
@@ -68,7 +96,8 @@ from .blosum import BLOSUM62, GAP_SCORE
 _AA_N = BLOSUM62.shape[0]
 _NEG = np.int32(-(1 << 24))
 _BIAS = 4  # BLOSUM62 min is -4 -> nibble range [0, 15]
-_NWORDS = (_AA_N + 7) // 8  # 4 int32 words hold 27 nibbles
+_CODES = 32  # 5-bit clamped code space: 27 residues + sentinel slots
+_NWORDS = _CODES // 8  # 4 int32 words hold 32 nibbles
 LANE = 128
 _DC_ONE = np.int32(1 << 16)  # packed stats: dc in high 16 bits, ma in low
 
@@ -93,75 +122,98 @@ def _make_kernel(SUB: int, Mp: int, steps_end: int):
         acode = acode_ref[:]
         pw = [prof_ref[w] for w in range(_NWORDS)]
 
-        def body(d, carry):
-            # sh_* carry the SHIFTED previous diagonals: the value shifted at
-            # step d-1 for v_val is exactly the diagonal-shift needed at step
-            # d (including its lane-0 boundary fill gap*(d-2)), halving the
-            # expensive lane-rotate count
-            (s_prev, madc_prev, sh_s, sh_madc, bx, buf) = carry
-            # sliding text window, all-static lane shifts (see module doc);
-            # lane j consumes text char b[d-2-j] at step d
-            k = d - 2
-            base = pl.multiple_of((k // 128) * 128, 128)
-            window = fwd_ref[:, pl.ds(base, 128)]
-            # left-rotate by one == right-rotate by 127 (shift must be >= 0)
-            buf = jnp.where((k % 128) == 0, window, pltpu.roll(buf, 127, axis=1))
-            newval = buf[:, 0:1]
-            bx = jnp.where(col == 0, newval, pltpu.roll(bx, 1, axis=1))
+        def make_body(with_tb: bool, with_freeze: bool):
+            def body(d, carry):
+                # sh_* carry the SHIFTED previous diagonals: the value
+                # shifted at step d-1 for the vertical arm is exactly the
+                # diagonal-shift needed at step d (including its lane-0
+                # boundary fill gap*(d-2)), halving the lane-rotate count
+                (s_prev, madc_prev, sh_s, sh_madc, bx, buf) = carry
+                # sliding text window, all-static lane shifts (see module
+                # doc); lane j consumes text char b[d-2-j] at step d
+                k = d - 2
+                base = pl.multiple_of((k // 128) * 128, 128)
+                window = fwd_ref[:, pl.ds(base, 128)]
+                # left-rotate by one == right-rotate by 127 (shift >= 0)
+                buf = jnp.where((k % 128) == 0, window,
+                                pltpu.roll(buf, 127, axis=1))
+                newval = buf[:, 0:1]
+                bx = jnp.where(col == 0, newval, pltpu.roll(bx, 1, axis=1))
 
-            # 4-bit packed profile extraction: word = pw[bx >> 3],
-            # nibble = (word >> ((bx & 7) * 4)) & 15, score = nibble - 4
-            widx = jax.lax.shift_right_logical(bx, 3)
-            word = jnp.where(widx == 1, pw[1], pw[0])
-            word = jnp.where(widx == 2, pw[2], word)
-            word = jnp.where(widx == 3, pw[3], word)
-            nshift = jax.lax.shift_left(jnp.bitwise_and(bx, 7), 2)
-            nib = jnp.bitwise_and(jax.lax.shift_right_logical(word, nshift), 15)
-            valid = bx < _AA_N
-            sub = jnp.where(valid, nib - _BIAS, _NEG)
-            is_match = ((acode == bx) & valid).astype(jnp.int32)
+                # 4-bit packed profile extraction over the 5-bit clamped
+                # code space: word = pw[bx >> 3], nibble = (word >>
+                # ((bx & 7) * 4)) & 15, score = nibble - 4; sentinel codes
+                # carry nibble 0 (= -4), sound per the v5 module note
+                widx = jax.lax.shift_right_logical(bx, 3)
+                word = jnp.where(widx == 1, pw[1], pw[0])
+                word = jnp.where(widx == 2, pw[2], word)
+                word = jnp.where(widx == 3, pw[3], word)
+                nshift = jax.lax.shift_left(jnp.bitwise_and(bx, 7), 2)
+                nib = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(word, nshift), 15)
+                sub = nib - _BIAS
+                is_match = (acode == bx).astype(jnp.int32)
 
-            # vertical predecessor (consume an A char): lane-0 fill is the
-            # pattern-boundary cell (0, d-1) = gap*(d-1)
-            s_prev_s = jnp.where(col == 0, gap * (d - 1),
-                                 pltpu.roll(s_prev, 1, axis=1))
-            madc_prev_s = jnp.where(col == 0, 0,
-                                    pltpu.roll(madc_prev, 1, axis=1))
+                # vertical predecessor (consume an A char): lane-0 fill is
+                # the pattern-boundary cell (0, d-1) = gap*(d-1)
+                s_prev_s = jnp.where(col == 0, gap * (d - 1),
+                                     pltpu.roll(s_prev, 1, axis=1))
+                madc_prev_s = jnp.where(col == 0, 0,
+                                        pltpu.roll(madc_prev, 1, axis=1))
 
-            d_val = sh_s + sub
-            v_val = s_prev_s + gap  # consume A char, gap column in B
-            h_val = s_prev + gap  # consume B char, gap column in A
-            best = jnp.maximum(jnp.maximum(d_val, v_val), h_val)
-            take_d = d_val == best
-            take_h = (~take_d) & (h_val == best)
+                # v5 tie-break restructure: both gap arms add the same gap,
+                # so best = max(diag, max(prev, prev_s) + gap); when the
+                # diagonal loses, horizontal wins iff it beats-or-ties the
+                # vertical arm (SeqAn order: diag > consume-B > consume-A)
+                d_val = sh_s + sub
+                best = jnp.maximum(d_val,
+                                   jnp.maximum(s_prev, s_prev_s) + gap)
+                take_d = d_val == best
+                take_h = (~take_d) & (s_prev >= s_prev_s)
 
-            new_s = best
-            new_madc = jnp.where(
-                take_d,
-                sh_madc + is_match + _DC_ONE,
-                jnp.where(take_h, madc_prev, madc_prev_s),
-            )
+                new_s = best
+                new_madc = jnp.where(
+                    take_d,
+                    sh_madc + is_match + _DC_ONE,
+                    jnp.where(take_h, madc_prev, madc_prev_s),
+                )
 
-            # text-side boundary: cell (d, 0) = gap*d lives at lane d-1 and
-            # seeds the next step's horizontal predecessor
-            on_tb = col == (d - 1)
-            new_s = jnp.where(on_tb, gap * d, new_s)
-            new_madc = jnp.where(on_tb, 0, new_madc)
+                if with_tb:
+                    # text-side boundary: cell (d, 0) = gap*d lives at lane
+                    # d-1 and seeds the next step's horizontal predecessor;
+                    # no lane matches once d > Mp (phase 3 drops the select)
+                    on_tb = col == (d - 1)
+                    new_s = jnp.where(on_tb, gap * d, new_s)
+                    new_madc = jnp.where(on_tb, 0, new_madc)
 
-            # FREEZE past each pair's target diagonal instead of carrying
-            # separate result tiles: two fewer loop carries keeps Mosaic on
-            # the register-resident fast path (with the extra res carries
-            # the step falls off a ~25x allocation cliff —
-            # benchmarks/probe_protein_ablate.py)
-            live = d <= target_d
-            new_s = jnp.where(live, new_s, s_prev)
-            new_madc = jnp.where(live, new_madc, madc_prev)
-            return (new_s, new_madc, s_prev_s, madc_prev_s, bx, buf)
+                if with_freeze:
+                    # FREEZE past each pair's target diagonal instead of
+                    # carrying separate result tiles: two fewer loop carries
+                    # keeps Mosaic on the register-resident fast path
+                    # (benchmarks/probe_protein_ablate.py); cannot fire
+                    # while d <= min(target) (phase 1 drops the selects)
+                    live = d <= target_d
+                    new_s = jnp.where(live, new_s, s_prev)
+                    new_madc = jnp.where(live, new_madc, madc_prev)
+                return (new_s, new_madc, s_prev_s, madc_prev_s, bx, buf)
+
+            return body
 
         init = (s0, zero, sh0, zero,
-                zero + 255,              # bx: all-sentinel before step 2
-                zero[:, 0:128] + 255)    # refill buffer (overwritten at k=0)
-        out = jax.lax.fori_loop(2, steps_end + 1, body, init)
+                zero + 31,               # bx: all-sentinel before step 2
+                zero[:, 0:128] + 31)     # refill buffer (overwritten at k=0)
+        # phase bounds from the batch min target (SMEM scalar): the
+        # boundary write targets lane d-1 (inactive once d > Mp) and the
+        # freeze can only fire once d exceeds some pair's target
+        # single static-bound loop: phase-split experiments measured WORSE
+        # on v5e (static 2-way split 1.72 ms, dynamic SMEM-bound 3-way
+        # split 1.9-4.3 ms, vs 1.53 ms for this loop at the canonical
+        # 512x256x256 launch) — Mosaic's hardware-loop path needs the
+        # single static trip count, and the saved selects are cheaper
+        # than the split overhead.  Kept: the with_tb/with_freeze body
+        # parameterization documents which spans each select guards.
+        out = jax.lax.fori_loop(2, steps_end + 1, make_body(True, True),
+                                init)
         s_out[:] = out[0]
         madc_out[:] = out[1]
 
@@ -184,12 +236,13 @@ def _shapes(B, M, N, SUB):
 def _call(acode8, fwd8, ablen, alen, SUB, Mp, steps_end, fwd_w, n_tiles,
           interpret=False):
     """H2D ships only uint8 code arrays + per-pair lengths; the packed
-    int32 profile (10x the bytes) is materialized ON DEVICE by a 27-entry
-    table gather, and all int32 widening happens device-side."""
-    acode = acode8.astype(jnp.int32)
-    fwd = fwd8.astype(jnp.int32)
-    packed = jnp.asarray(_PACKED)  # [NWORDS, AA_N]
-    prof = packed[:, jnp.minimum(acode, _AA_N - 1)]  # [NWORDS, Bp, Mp]
+    int32 profile (10x the bytes) is materialized ON DEVICE by a table
+    gather, and all int32 widening happens device-side.  Codes clamp to
+    the 5-bit kernel space here (sentinel 255 -> 31, see v5 note)."""
+    acode = jnp.minimum(acode8, _CODES - 1).astype(jnp.int32)
+    fwd = jnp.minimum(fwd8, _CODES - 1).astype(jnp.int32)
+    packed = jnp.asarray(_PACKED)  # [NWORDS, CODES]
+    prof = packed[:, acode]  # [NWORDS, Bp, Mp]
     tgt = jnp.broadcast_to(ablen[:, None], acode.shape).astype(jnp.int32)
     s, madc = _raw_call(
         prof, acode, fwd, tgt, SUB, Mp, steps_end, fwd_w, n_tiles, interpret
@@ -244,14 +297,15 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-# nibble-packed BLOSUM column table: _PACKED[w, a] = int32 packing
-# (BLOSUM62[a, 8w+j] + 4) << 4j for j in 0..7
+# nibble-packed BLOSUM column table over the 5-bit clamped code space:
+# _PACKED[w, a] = int32 packing (BLOSUM62[a, 8w+j] + 4) << 4j for j in
+# 0..7; sentinel rows/columns (codes >= 27) pack nibble 0 (score -4)
 def _packed_table():
-    tbl = np.zeros((_NWORDS, _AA_N), np.int64)
+    tbl = np.zeros((_NWORDS, _CODES), np.int64)
     for a in range(_AA_N):
         for c in range(_AA_N):
             tbl[c // 8, a] |= (int(BLOSUM62[a, c]) + _BIAS) << (4 * (c % 8))
-    return tbl.astype(np.uint32).view(np.int32).reshape(_NWORDS, _AA_N)
+    return tbl.astype(np.uint32).view(np.int32).reshape(_NWORDS, _CODES)
 
 
 _PACKED = _packed_table()
