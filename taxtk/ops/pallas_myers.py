@@ -475,9 +475,14 @@ def batched_edit_distance_pallas_myers_long(
     if pool_gather is None:
         pool_gather = not interpret
     if pool_gather:
-        # pool only pays when strictly narrower than the padded pair group;
-        # _dedupe_pool bails (returns None) as soon as that is impossible
-        cap = None if interpret else max(128, Bp // 2)
+        # same cap rationale as the single-launch entry: with a cross-round
+        # cache, dense unique buckets still belong on the pool path (H2D =
+        # new rows only; the dense fallback pays the host peq build)
+        cap = (
+            None
+            if (interpret or pool_cache is not None)
+            else max(128, Bp // 2)
+        )
         pool = _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=cap)
 
     if pool is not None:
@@ -893,9 +898,18 @@ def batched_edit_distance_pallas_myers(
     if pool_gather is None:
         pool_gather = not interpret
     if pool_gather:
-        # pool only pays when strictly narrower than the padded pair group;
-        # _dedupe_pool bails (returns None) as soon as that is impossible
-        cap = None if interpret else max(128, Bp // 2)
+        # Without a cross-round cache the pool only pays when strictly
+        # narrower than the padded pair group (_dedupe_pool bails once that
+        # is impossible).  WITH the cache, H2D scales with rows not yet on
+        # device, so even a dense unique bucket belongs on the pool path:
+        # pass-1/2 candidates were almost always shipped by pass 0, and the
+        # dense fallback would both re-ship them and pay the host peq build
+        # (_precompute was ~0.1 s/bucket at config-4 shapes).
+        cap = (
+            None
+            if (interpret or pool_cache is not None)
+            else max(128, Bp // 2)
+        )
         pool = _dedupe_pool(a_codes, b_codes, a_len, b_len, max_rows=cap)
 
     if pool is not None:

@@ -254,6 +254,34 @@ class TestKernelWithPoolCache:
             np.testing.assert_array_equal(got, want, err_msg=f"round {rnd}")
         assert cache.hits > 0
 
+    def test_dense_unique_bucket_reuses_cache(self):
+        """A bucket of all-unique pairs (dense: pool no narrower than the
+        pair group) must still take the pool path when a cache is attached
+        — the compiled entry drops the max_rows bail so pass-1 candidates
+        already resident from pass 0 are not re-shipped (the dense fallback
+        also paid a ~0.1 s/bucket host peq build at config-4 shapes)."""
+        rng = np.random.RandomState(13)
+        cache = DevicePoolCache()
+        seqs = _rows(rng, 40, lo=30, hi=100, alpha=4)
+        # round 1: 20 pairs, all 40 rows unique (2B rows == pool rows)
+        pairs = [(seqs[2 * i], seqs[2 * i + 1]) for i in range(20)]
+        args = _pad_pairs(pairs)
+        got = batched_edit_distance_pallas_myers(
+            *args, interpret=True, pool_gather=True, pool_cache=cache
+        )
+        np.testing.assert_array_equal(got, batched_edit_distance_myers(*args))
+        assert cache.hits == 0
+        # round 2: same rows re-paired -> every row hits the resident pool
+        pairs2 = [(seqs[2 * i + 1], seqs[2 * i]) for i in range(20)]
+        args2 = _pad_pairs(pairs2)
+        got2 = batched_edit_distance_pallas_myers(
+            *args2, interpret=True, pool_gather=True, pool_cache=cache
+        )
+        np.testing.assert_array_equal(
+            got2, batched_edit_distance_myers(*args2)
+        )
+        assert cache.hits == 40  # zero re-ships in round 2
+
     def test_budget_reset_mid_stream_is_exact(self):
         """Forcing resets between kernel rounds must not change results."""
         rng = np.random.RandomState(12)
