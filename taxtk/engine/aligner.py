@@ -124,7 +124,10 @@ class BatchAligner:
         # (~48% of pool H2D bytes are re-ships, benchmarks/probe_pool_reuse
         # .py); the cache ships each unique row once
         self.pool_cache = None
-        if self.mode == "dna" and self.dna_backend == "myers-pallas":
+        if (self.mode == "dna" and self.dna_backend == "myers-pallas") or (
+            self.mode == "protein"
+            and self.protein_backend == "wavefront-pallas"
+        ):
             from ..ops.seqpool import DevicePoolCache
 
             self.pool_cache = DevicePoolCache()
@@ -571,6 +574,7 @@ class BatchAligner:
                     dev, post = batched_protein_align_pallas(
                         a_codes, b_codes, a_len, b_len, lazy="device",
                         interpret=self.pallas_interpret,
+                        pool_cache=pool_cache,
                     )
                 except Exception as e:  # pragma: no cover - device-specific
                     # same graceful degradation as the DNA pallas path

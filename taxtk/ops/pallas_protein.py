@@ -233,8 +233,33 @@ def _shapes(B, M, N, SUB):
     jax.jit, static_argnames=("SUB", "Mp", "steps_end", "fwd_w", "n_tiles",
                               "interpret")
 )
+def _call_pool(pool, a_cols, b_cols, ablen, alen, SUB, Mp, steps_end,
+               fwd_w, n_tiles, interpret=False):
+    """Device-pool front end: per-pair code rows are gathered from the
+    CROSS-ROUND resident pool (ops/seqpool.py, bits=8 — protein codes are
+    raw uint8, one per byte) — the round's H2D is just the new rows plus
+    the small per-pair column/length vectors.  Pool pad (-1 = 0xFF) is the
+    kernel sentinel, and pad content past each row's own length is
+    harmless (see the selfscore masking note in _from_codes)."""
+    pool_u = jax.lax.bitcast_convert_type(pool, jnp.uint8)
+    acode8 = jnp.take(pool_u[:Mp], a_cols, axis=1).T  # [Bp, Mp]
+    fwd8 = jnp.take(pool_u[:fwd_w], b_cols, axis=1).T  # [Bp, fwd_w]
+    return _from_codes(acode8, fwd8, ablen, alen, SUB, Mp, steps_end,
+                       fwd_w, n_tiles, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("SUB", "Mp", "steps_end", "fwd_w", "n_tiles",
+                              "interpret")
+)
 def _call(acode8, fwd8, ablen, alen, SUB, Mp, steps_end, fwd_w, n_tiles,
           interpret=False):
+    return _from_codes(acode8, fwd8, ablen, alen, SUB, Mp, steps_end,
+                       fwd_w, n_tiles, interpret)
+
+
+def _from_codes(acode8, fwd8, ablen, alen, SUB, Mp, steps_end, fwd_w,
+                n_tiles, interpret=False):
     """H2D ships only uint8 code arrays + per-pair lengths; the packed
     int32 profile (10x the bytes) is materialized ON DEVICE by a table
     gather, and all int32 widening happens device-side.  Codes clamp to
@@ -297,6 +322,13 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _pow2_int(x: int) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
 # nibble-packed BLOSUM column table over the 5-bit clamped code space:
 # _PACKED[w, a] = int32 packing (BLOSUM62[a, 8w+j] + 4) << 4j for j in
 # 0..7; sentinel rows/columns (codes >= 27) pack nibble 0 (score -4)
@@ -312,14 +344,24 @@ _PACKED = _packed_table()
 _DIAG = np.ascontiguousarray(np.diag(BLOSUM62)).astype(np.int32)
 
 
+# the shared protein pool height class (seqpool): one class serves every
+# ORF-scale bucket (Mp and fwd_w both slice a taller pool), so rows reuse
+# across bucket sizes AND rounds; taller buckets get their own pow2 class
+_POOL_HC_FLOOR = 1024
+
+
 def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
                                  sub_tile: int = 256, interpret: bool = False,
-                                 lazy: bool = False):
+                                 lazy: bool = False, pool_cache=None):
     """Drop-in for protein_align.batched_protein_align (TPU path).
 
     Returns the same dict of numpy arrays (distances etc. computed with the
     reference's float32 normalization on host).  lazy=True returns a
     zero-arg finish closure instead (kernel dispatched immediately).
+    pool_cache: optional ops.seqpool.DevicePoolCache — code rows stay
+    device-resident across align rounds (bits=8: protein codes raw, one
+    per byte); only rows not yet on device ship, and sparse buckets stop
+    shipping [Bp(=tile-padded), Mp] dense arrays entirely.
     """
     a_codes = np.asarray(a_codes)
     b_codes = np.asarray(b_codes)
@@ -332,30 +374,57 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     Mp, steps_end, fwd_w, n_tiles = _shapes(B, M, N, SUB)
     Bp = n_tiles * SUB
 
-    # uint8 host arrays only — profile/widening happen on device (_call);
-    # lane j holds pattern position j+1 (virtual boundaries, see module doc)
-    acode = np.full((Bp, Mp), 255, np.uint8)
-    acode[:B, 0:M] = a_codes
-    # forward text stream: the char consumed at lane 0 on step d is b[d-2]
-    fwd = np.full((Bp, fwd_w), 255, np.uint8)
-    fwd[:B, :N] = b_codes
     ablen = np.ones(Bp, np.int32)
     ablen[:B] = a_len + b_len
-
     alen_p = np.zeros(Bp, np.int32)
     alen_p[:B] = a_len
-    stacked = _call(
-        jnp.asarray(acode),
-        jnp.asarray(fwd),
-        jnp.asarray(ablen),
-        jnp.asarray(alen_p),
-        SUB,
-        Mp,
-        steps_end,
-        fwd_w,
-        n_tiles,
-        interpret,
-    )
+
+    if pool_cache is not None:
+        from .pallas_myers import _dedupe_pool
+        from .seqpool import DevicePoolCache
+
+        pool = _dedupe_pool(a_codes, b_codes, a_len, b_len)
+        rows, plen, idx_a, idx_b, keys = pool
+        Hc = max(_pow2_int(max(Mp, fwd_w)), _POOL_HC_FLOOR)
+        pool_dev, slots = pool_cache.ensure(8, Hc, keys, rows, plen)
+        a_cols = np.zeros(Bp, np.int32)
+        b_cols = np.zeros(Bp, np.int32)
+        a_cols[:B] = slots[idx_a]
+        b_cols[:B] = slots[idx_b]
+        stacked = _call_pool(
+            pool_dev,
+            jnp.asarray(a_cols),
+            jnp.asarray(b_cols),
+            jnp.asarray(ablen),
+            jnp.asarray(alen_p),
+            SUB,
+            Mp,
+            steps_end,
+            fwd_w,
+            n_tiles,
+            interpret,
+        )
+    else:
+        # uint8 host arrays only — profile/widening happen on device
+        # (_call); lane j holds pattern position j+1 (virtual boundaries,
+        # see module doc)
+        acode = np.full((Bp, Mp), 255, np.uint8)
+        acode[:B, 0:M] = a_codes
+        # forward text stream: char consumed at lane 0 on step d is b[d-2]
+        fwd = np.full((Bp, fwd_w), 255, np.uint8)
+        fwd[:B, :N] = b_codes
+        stacked = _call(
+            jnp.asarray(acode),
+            jnp.asarray(fwd),
+            jnp.asarray(ablen),
+            jnp.asarray(alen_p),
+            SUB,
+            Mp,
+            steps_end,
+            fwd_w,
+            n_tiles,
+            interpret,
+        )
     def post(st):
         st = np.asarray(st)
         mutual = st[0, :B]

@@ -302,6 +302,89 @@ class TestKernelWithPoolCache:
         assert cache.resets >= 2
 
 
+class TestProteinPoolCache:
+    def test_multi_round_parity_and_reuse(self):
+        """Protein kernel through the bits=8 pool cache: multi-round
+        parity vs the dense entry and the XLA wavefront, with later
+        rounds hitting resident rows (incl. a-side rows reused as
+        b-side — keys are content-based)."""
+        from taxtk.ops.pallas_protein import batched_protein_align_pallas
+        from taxtk.ops.protein_align import batched_protein_align
+
+        rng = np.random.RandomState(21)
+        cache = DevicePoolCache()
+        seqs = _rows(rng, 14, lo=20, hi=70, alpha=20)
+        for rnd in range(3):
+            pairs = [
+                (seqs[rng.randint(len(seqs))], seqs[rng.randint(len(seqs))])
+                for _ in range(9)
+            ]
+            args = _pad_pairs(pairs)
+            got = batched_protein_align_pallas(
+                *args, interpret=True, pool_cache=cache, sub_tile=8
+            )
+            dense = batched_protein_align_pallas(
+                *args, interpret=True, sub_tile=8
+            )
+            want = batched_protein_align(*args)
+            for k in ("distance", "similarity", "matches", "gaps"):
+                np.testing.assert_array_equal(
+                    got[k], dense[k], err_msg=f"round {rnd} {k} (pool/dense)"
+                )
+                np.testing.assert_array_equal(
+                    got[k], want[k], err_msg=f"round {rnd} {k} (pool/xla)"
+                )
+        assert cache.hits > 0
+        assert any(k[0] == 8 for k in cache.pools)
+
+    def test_engine_protein_gff3_byte_identical(self, tmp_path):
+        """Full protein RPA with the pool cache active (pallas interpret)
+        vs the portable XLA wavefront backend: byte-identical GFF3."""
+        from taxtk.engine.aligner import BatchAligner
+        from test_rpa import _aln
+
+        tax = make_taxonomy(tmp_path, prune=True)
+        rng = random.Random(7)
+        AA = "ACDEFGHIKLMNPQRSTVWY"
+        refseqs, mapping = {}, {}
+        leaves = ["2111111", "2111112", "2111121", "2211111"]
+        for k, taxid in enumerate(leaves):
+            refseqs[f"p{k}"] = "".join(rng.choice(AA) for _ in range(150))
+            mapping[f"p{k}"] = taxid
+        base = refseqs["p0"][20:100]
+        query = "".join(
+            c if rng.random() > 0.08 else rng.choice(AA) for c in base
+        )
+        qlen = len(query)
+        records = []
+        for rid in refseqs:
+            ident = rng.randrange(40, 75)
+            rec = _aln("pq", 1, qlen, qlen, rid, 21, 100, 50 + ident,
+                       ident, 80)
+            rec.reference_node = tax.node(mapping[rid])
+            records.append(rec)
+        qstore = DictStore({"pq": query})
+        dbstore = DictStore(refseqs)
+
+        pool_aligner = BatchAligner(
+            "protein", protein_backend="wavefront-pallas",
+            pallas_interpret=True,
+        )
+        assert pool_aligner.pool_cache is not None
+        out_pool = run_engine(
+            tax, qstore, dbstore, [records], aligner=pool_aligner,
+            protein=True,
+        )
+        out_xla = run_engine(
+            tax, qstore, dbstore, [records],
+            aligner=BatchAligner("protein", protein_backend="wavefront"),
+            protein=True,
+        )
+        assert out_pool == out_xla
+        assert len(out_pool.splitlines()) > 1
+        assert pool_aligner.pool_cache.misses > 0
+
+
 class TestEngineWithPoolCache:
     def test_engine_gff3_byte_identical(self, tmp_path):
         """Full RPA round-trips with the production pool cache active
