@@ -43,10 +43,19 @@ B, L = 8192, 2048  # canonical 8-tile group, K=64 register fast path
 SETS = 4  # distinct device-resident input sets, cycled
 ROUNDS = 16  # launches per timed rep (~2.7e11 cells)
 NREP = 5  # timed reps; report median + IQR
-# v5e VPU analytic speed-of-light for the current op mix (~33 ops per
-# 32-cell word-step after the round-3 harvest diet; was 3400 at 36 ops —
-# see ops/pallas_myers.py module doc)
-ROOFLINE_GCUPS = 3700.0
+# Speed-of-light model, round-3 revision: the 2-char-unrolled kernel
+# DELIVERED 117% of the old source-op-count roofline (3700 at ~33
+# ops/word-step), falsifying that model — Mosaic fuses below the source
+# op count (a dependency-free probe of the same op mix also sustains
+# less than the kernel implies: benchmarks/probe_vpu_peak.py, 3.0e12
+# op/s).  The bound now counts only the ~20 ESSENTIAL core-recurrence
+# ops per 32-cell word (eq/xv/add(2)/xh(2)/ph(2)/mh/4 shifts+2 ors for
+# state+carries/new_pv(3)/new_mv) at the analytic VPU peak (8x128 lanes
+# x 4 ALUs x 0.94 GHz = 3.85e12 op/s), with peq select, harvest, loads
+# and loop overhead assumed FREE: 3.85e12 / (20/32) = ~6.2e3 GCUPS.  No
+# implementation of this algorithm beats it without shrinking the core
+# recurrence itself.
+ROOFLINE_GCUPS = 6160.0
 
 
 def _run_with_watchdog(timeout_s=2400):

@@ -6,16 +6,27 @@ TPU mapping of myers_batch.py (same exact semantics): pairs tile into
 dimension sequential — Pv/Mv/score state lives in VMEM scratch across
 chunks, so arbitrarily long texts stream through a bounded VMEM window.
 
-Op count per (text char x 32-cell pattern block), for the roofline in
-bench.py / BASELINE.md: peq select chain 10 (4 cmp+select pairs + the
-sentinel reject), core Myers recurrences 13 (eq/xv/add/xh/ph/mh/new_pv/
-new_mv), score-harvest accumulate 4 (the single-bit hmask hits OR-fold
-across pattern words; the +-1 evaluation runs once per text char, ~4/K
-amortized), carry shifts 6 — ~33 VPU ops per 32 cells = ~1.03
-ops/DP-cell (was 36/1.125 before the harvest diet), versus ~12 ops/cell
-for the wavefront formulation.  v5e VPU peak (8x128 lanes x 4 ALUs x
-0.94 GHz = 3.85e12 int32 op/s) puts this kernel's speed-of-light at
-~3.7e3 GCUPS; bench.py reports delivered GCUPS against that roofline.
+Source-op count per (text char x 32-cell pattern block): peq select
+chain 10 (4 cmp+select pairs + the sentinel reject), core Myers
+recurrences 13 (eq/xv/add/xh/ph/mh/new_pv/new_mv), score-harvest
+accumulate 4 (single-bit hmask hits OR-fold across pattern words),
+carry shifts 6 — ~33 source ops per 32 cells, versus ~12 ops/cell for
+the wavefront formulation.
+
+Roofline history (bench.py): the source-op model (3.85e12 VPU op/s /
+1.03 ops/cell = 3.7e3 GCUPS) was FALSIFIED in round 3 — the 4-char-
+unrolled kernel delivered 4.3e3 GCUPS (117%), so Mosaic issues fewer
+ISA ops than the source count (fusion), and a dependency-free probe of
+the same mix sustains only 3.0e12 op/s (benchmarks/probe_vpu_peak.py).
+The bench now bounds against the ~20 essential core-recurrence ops
+only (~6.2e3 GCUPS); see bench.py for the exact model.
+
+The serial ph/mh carry chain across pattern words is the limiter the
+unroll attacks: 4 text chars per fori_loop trip interleave 4 carry
+chains (char j+1's word-k step needs only char j's word-k state, ready
+K-1 words earlier), measured 1.43x at the canonical launch
+(benchmarks/probe_unroll2.py: 1949 -> 2637/2811 GCUPS interleaved A/B;
+full bench 2506 -> 4319 median-of-5).
 """
 
 from __future__ import annotations
@@ -86,6 +97,8 @@ def _quantize_K(K: int) -> int:
 
 
 def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int, bits: int = 4):
+    UNROLL = 4 if Tc % 4 == 0 else 1
+
     def kernel(
         peq_ref,  # [K, ALPHA, SUB, LANE] u32
         text_ref,  # [Tc*bits//8, SUB, LANE] i8 — 2 (bits=4) or 4 (bits=2)
@@ -125,9 +138,17 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int, bits: int = 4):
 
         # the whole per-chunk state rides in loop-carried registers; VMEM
         # scratch is only touched at chunk boundaries so the inner loop is a
-        # pure register/VPU dependency chain with pipelined peq/text loads
-        def stepj(jj, carry):
-            pvs, mvs, score, res = carry
+        # pure register/VPU dependency chain with pipelined peq/text loads.
+        # UNROLL text chars per loop trip: the Myers recurrence serializes
+        # on the ph/mh carry across pattern words (~7 dependent ops x K per
+        # char — at K=64 the chain is ~86% of the issue-bound time), while
+        # char j+1's word-k step only needs char j's word-k state, which is
+        # ready K-1 words earlier in program order.  Unrolling interleaves
+        # the chains so the 4 VPU ALUs stay fed (measured 1.43x at the
+        # canonical 8192x2048 launch, benchmarks/probe_unroll2.py; 4 and 8
+        # measured equal, so the smaller variant wins on VMEM/compile).
+        # Tc is always a multiple of 4 (text packing pads to it).
+        def one_char(jj, pvs, mvs, score, res):
             if bits == 2:
                 packed = text_ref[jj >> 2].astype(jnp.int32)
                 tc = (packed >> ((jj & 3) * 2)) & 3
@@ -175,7 +196,15 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int, bits: int = 4):
             )
             j = base_j + jj + 1
             res = jnp.where(j == n_len, score, res)
-            return (tuple(new_pvs), tuple(new_mvs), score, res)
+            return tuple(new_pvs), tuple(new_mvs), score, res
+
+        def stepj(jj, carry):
+            pvs, mvs, score, res = carry
+            for u in range(UNROLL):
+                pvs, mvs, score, res = one_char(
+                    jj * UNROLL + u, pvs, mvs, score, res
+                )
+            return (pvs, mvs, score, res)
 
         carry0 = (
             tuple(pv_ref[k] for k in range(K)),
@@ -183,7 +212,9 @@ def _make_kernel(K: int, Tc: int, n_chunks: int, SUB: int, bits: int = 4):
             score_ref[:],
             res_ref[:],
         )
-        pvs, mvs, score, res = jax.lax.fori_loop(0, Tc, stepj, carry0)
+        pvs, mvs, score, res = jax.lax.fori_loop(
+            0, Tc // UNROLL, stepj, carry0
+        )
         for k in range(K):
             pv_ref[k] = pvs[k]
             mv_ref[k] = mvs[k]
@@ -207,6 +238,7 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
     ride through the launches as functional inputs/outputs; only the
     final block's launch leaves the true scores in `res` (earlier
     launches' harvests are overwritten)."""
+    UNROLL = 4 if Tc % 4 == 0 else 1
 
     def kernel(
         peq_ref,    # [K, ALPHA, SUB, LANE] u32 (this block's pattern words)
@@ -244,8 +276,9 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
         n_len = nlen_ref[:]
         base_j = t * Tc
 
-        def stepj(jj, carry):
-            pvs, mvs, score, res = carry
+        # UNROLL chars per trip to interleave the serial ph/mh carry
+        # chains (see the single-launch kernel's note)
+        def one_char(jj, pvs, mvs, score, res):
             if bits == 2:
                 packed = text_ref[jj >> 2].astype(jnp.int32)
                 tc = (packed >> ((jj & 3) * 2)) & 3
@@ -296,7 +329,15 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
             # kernel can let it drift because its harvest happens once)
             score = score + jnp.where(j <= n_len, delta, 0)
             res = jnp.where(j == n_len, score, res)
-            return (tuple(new_pvs), tuple(new_mvs), score, res)
+            return tuple(new_pvs), tuple(new_mvs), score, res
+
+        def stepj(jj, carry):
+            pvs, mvs, score, res = carry
+            for u in range(UNROLL):
+                pvs, mvs, score, res = one_char(
+                    jj * UNROLL + u, pvs, mvs, score, res
+                )
+            return (pvs, mvs, score, res)
 
         carry0 = (
             tuple(pv_ref[k] for k in range(K)),
@@ -304,7 +345,9 @@ def _make_kernel_chunked(K: int, Tc: int, n_chunks: int, SUB: int,
             score_ref[:],
             res_ref[:],
         )
-        pvs, mvs, score, res = jax.lax.fori_loop(0, Tc, stepj, carry0)
+        pvs, mvs, score, res = jax.lax.fori_loop(
+            0, Tc // UNROLL, stepj, carry0
+        )
         for k in range(K):
             pv_ref[k] = pvs[k]
             mv_ref[k] = mvs[k]
