@@ -777,23 +777,27 @@ def _pack_text_pool(rows, lens, txt_used, Np, Up, bits=4):
     """Pool rows -> [Np*bits//8, Up] packed codes (2 or 4 per byte, pad
     field = all-ones beyond each row's own length; see _pack_text for why
     bits=2 pad is inert).  Only entries used as a text (txt_used mask) are
-    materialized; pattern-only entries stay all-pad."""
+    materialized; pattern-only entries stay all-pad.
+
+    Packing is one vectorized pass over a sentinel-padded row matrix (a
+    per-row Python pack loop was a top host cost in the warm e2e profile);
+    per-row work is just the ragged copy."""
     U = len(rows)
     cpb = 8 // bits
     sent = (1 << bits) - 1
     packed = np.full((Np // cpb, Up), 0xFF, np.uint8)
-    col = np.full(Np, sent, np.uint8)
-    for u in range(U):
-        if not txt_used[u]:
-            continue
+    use = [u for u in range(U) if txt_used[u]]
+    if not use:
+        return packed.view(np.int8)
+    nbmax = max(1, -(-max(int(lens[u]) for u in use) // cpb))
+    mat = np.full((len(use), nbmax * cpb), sent, np.uint8)
+    for j, u in enumerate(use):
         L = int(lens[u])
-        col[:L] = np.minimum(rows[u][:L], sent)
-        nb = -(-L // cpb)
-        merged = col[0 : cpb * nb : cpb].copy()
-        for f in range(1, cpb):
-            merged |= col[f : cpb * nb : cpb] << (bits * f)
-        packed[:nb, u] = merged
-        col[:L] = sent
+        np.minimum(rows[u][:L], sent, out=mat[j, :L])
+    merged = mat[:, 0::cpb].copy()
+    for f in range(1, cpb):
+        merged |= mat[:, f::cpb] << (bits * f)
+    packed[:nbmax, use] = merged.T
     return packed.view(np.int8)
 
 
