@@ -59,35 +59,48 @@ ROOFLINE_GCUPS = 6160.0
 
 
 def _run_with_watchdog(timeout_s=2400):
-    """Run the device measurement in a subprocess so a hung remote TPU
-    compile cannot stall the driver; fall back to the CPU backend."""
+    """Run the device measurements in subprocesses so a hung remote TPU
+    compile cannot stall the driver; fall back to the CPU backend.  The
+    kernel bench and the e2e engine bench run in SEPARATE processes —
+    measured same-session, the e2e read 2.3 Gbp/h inside the kernel
+    bench's process vs 4.9-6.4 standalone (device queue/alloc state from
+    16x8192x2048 kernel rounds contaminates the engine timing)."""
+    import json as _json
     import os
     import subprocess
     import sys
 
     if os.environ.get("TAXTK_BENCH_INNER") == "1":
         return None  # we ARE the inner process
-    cmd = [sys.executable, os.path.abspath(__file__)]
-    env = {**os.environ, "TAXTK_BENCH_INNER": "1"}
-    try:
-        r = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, timeout=timeout_s
-        )
+
+    def _inner(mode, env_extra, t):
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        env = {**os.environ, "TAXTK_BENCH_INNER": "1",
+               "TAXTK_BENCH_MODE": mode, **env_extra}
+        try:
+            r = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=t
+            )
+        except subprocess.TimeoutExpired:
+            return None
         for line in r.stdout.splitlines():
             if line.startswith("{"):
-                print(line)
-                return True
-    except subprocess.TimeoutExpired:
-        pass
-    # fallback: CPU backend (the axon sitecustomize ignores JAX_PLATFORMS,
-    # so the inner process force-switches on this variable)
-    env["TAXTK_FORCE_CPU"] = "1"
-    r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=timeout_s)
-    for line in r.stdout.splitlines():
-        if line.startswith("{"):
-            print(line)
-            return True
-    raise RuntimeError(f"bench failed: {r.stderr[-500:]}")
+                return _json.loads(line)
+        return None
+
+    result = _inner("kernel", {}, timeout_s)
+    if result is None:
+        # fallback: CPU backend (the axon sitecustomize ignores
+        # JAX_PLATFORMS, so the inner process switches on this variable)
+        result = _inner("kernel", {"TAXTK_FORCE_CPU": "1"}, timeout_s)
+    if result is None:
+        raise RuntimeError("bench failed: no kernel metric")
+    e2e = _inner("e2e", {}, timeout_s)
+    if e2e is None:
+        e2e = {"e2e_error": "timeout"}
+    result.update(e2e)
+    print(_json.dumps(result))
+    return True
 
 
 def _stage_tpu(seed):
@@ -217,7 +230,6 @@ def main():
         if platform != "cpu"
         else None,
     }
-    result.update(_bench_e2e(platform))
     print(json.dumps(result))
 
 
@@ -226,13 +238,15 @@ def _bench_e2e(platform):
     Mbp classified/hour) with the kernel bench's protocol: fixed synthetic
     config-4-style workload (300 contigs 1-20 kbp, segment splits, revcomp,
     skewed candidate counts), one warm-up engine run, then E2E_REPS timed
-    runs; report the MEDIAN and IQR.  Returns {} on any failure so the
-    kernel metric is never lost."""
+    runs; report the MEDIAN and IQR plus the best rep (the shared tunnel's
+    congestion spikes make the median a lower bound on chip capability —
+    measured same-day spreads of 2-10 Gbp/h with identical code).  Returns
+    an error field on failure so the kernel metric is never lost."""
     import os
     import sys
     import tempfile
 
-    E2E_CONTIGS, E2E_REPS = 300, 3
+    E2E_CONTIGS, E2E_REPS = 300, 5
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
         import bench_e2e
@@ -254,6 +268,7 @@ def _bench_e2e(platform):
         iqr = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
         return {
             "e2e_mbp_per_hour": round(med, 1),
+            "e2e_best_mbp_per_hour": round(mbph[-1], 1),
             "e2e_iqr_pct": round(iqr, 1),
             "e2e_protocol": f"median of {E2E_REPS} warm engine runs, "
                             f"{E2E_CONTIGS} contigs 1-20kbp, "
@@ -267,6 +282,13 @@ if __name__ == "__main__":
     import os
 
     if os.environ.get("TAXTK_BENCH_INNER") == "1":
-        main()
+        if os.environ.get("TAXTK_BENCH_MODE") == "e2e":
+            import jax as _jax
+
+            if os.environ.get("TAXTK_FORCE_CPU") == "1":
+                _jax.config.update("jax_platforms", "cpu")
+            print(json.dumps(_bench_e2e(_jax.devices()[0].platform)))
+        else:
+            main()
     else:
         _run_with_watchdog()
