@@ -99,6 +99,10 @@ def _run_with_watchdog(timeout_s=2400):
     if e2e is None:
         e2e = {"e2e_error": "timeout"}
     result.update(e2e)
+    prot = _inner("e2e-protein", {}, timeout_s)
+    if prot is None:
+        prot = {"protein_e2e_error": "timeout"}
+    result.update(prot)
     print(_json.dumps(result))
     return True
 
@@ -278,16 +282,62 @@ def _bench_e2e(platform):
         return {"e2e_error": f"{type(e).__name__}: {e}"[:200]}
 
 
+def _bench_e2e_protein(platform):
+    """Protein engine throughput (Maa classified/hour): blastp-style ORF
+    workload through the full protein RPA path, same protocol as the DNA
+    e2e (warm-up run + timed reps, median/best/IQR)."""
+    import os
+    import sys
+    import tempfile
+
+    P_ORFS, P_REPS = 2000, 3
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import bench_e2e
+
+        from taxtk.constants import DEFAULT_RANKS
+
+        backend = "wavefront" if platform == "cpu" else None
+        with tempfile.TemporaryDirectory() as d:
+            paths = bench_e2e.make_workload_protein(d, P_ORFS)
+            runs = []
+            for rep in range(P_REPS + 1):  # first run = warm-up/compile
+                r = bench_e2e.run_once(
+                    paths, list(DEFAULT_RANKS), protein=True,
+                    protein_backend=backend,
+                )
+                if rep > 0:
+                    runs.append(r)
+        maah = sorted(
+            r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0) for r in runs
+        )
+        med = maah[len(maah) // 2]
+        iqr = 100.0 * (maah[-1] - maah[0]) / med if med else 0.0
+        return {
+            "protein_e2e_maa_per_hour": round(med, 1),
+            "protein_e2e_best_maa_per_hour": round(maah[-1], 1),
+            "protein_e2e_iqr_pct": round(iqr, 1),
+            "protein_e2e_protocol": f"median of {P_REPS} warm engine runs, "
+                                    f"{P_ORFS} ORFs, "
+                                    f"{runs[0]['pairs']} realignments/run",
+        }
+    except Exception as e:  # pragma: no cover - environment-specific
+        return {"protein_e2e_error": f"{type(e).__name__}: {e}"[:200]}
+
+
 if __name__ == "__main__":
     import os
 
     if os.environ.get("TAXTK_BENCH_INNER") == "1":
-        if os.environ.get("TAXTK_BENCH_MODE") == "e2e":
+        mode = os.environ.get("TAXTK_BENCH_MODE")
+        if mode in ("e2e", "e2e-protein"):
             import jax as _jax
 
             if os.environ.get("TAXTK_FORCE_CPU") == "1":
                 _jax.config.update("jax_platforms", "cpu")
-            print(json.dumps(_bench_e2e(_jax.devices()[0].platform)))
+            fn = _bench_e2e if mode == "e2e" else _bench_e2e_protein
+            print(json.dumps(fn(_jax.devices()[0].platform)))
         else:
             main()
     else:
