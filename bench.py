@@ -242,7 +242,7 @@ def _bench_e2e(platform):
     Mbp classified/hour) with the kernel bench's protocol: fixed synthetic
     config-4-style workload (300 contigs 1-20 kbp, segment splits, revcomp,
     skewed candidate counts), one warm-up engine run, then E2E_REPS timed
-    runs; report the MEDIAN and IQR plus the best rep (the shared tunnel's
+    runs; report the MEDIAN, the full min-max spread, and the best rep (the shared tunnel's
     congestion spikes make the median a lower bound on chip capability —
     measured same-day spreads of 2-10 Gbp/h with identical code).  Returns
     an error field on failure so the kernel metric is never lost."""
@@ -273,7 +273,7 @@ def _bench_e2e(platform):
         return {
             "e2e_mbp_per_hour": round(med, 1),
             "e2e_best_mbp_per_hour": round(mbph[-1], 1),
-            "e2e_iqr_pct": round(iqr, 1),
+            "e2e_spread_pct": round(iqr, 1),
             "e2e_protocol": f"median of {E2E_REPS} warm engine runs, "
                             f"{E2E_CONTIGS} contigs 1-20kbp, "
                             f"{runs[0]['cells']:.2e} DP cells/run",
@@ -285,7 +285,7 @@ def _bench_e2e(platform):
 def _bench_e2e_protein(platform):
     """Protein engine throughput (Maa classified/hour): blastp-style ORF
     workload through the full protein RPA path, same protocol as the DNA
-    e2e (warm-up run + timed reps, median/best/IQR)."""
+    e2e (warm-up run + timed reps, median/best/min-max spread)."""
     import os
     import sys
     import tempfile
@@ -317,7 +317,7 @@ def _bench_e2e_protein(platform):
         return {
             "protein_e2e_maa_per_hour": round(med, 1),
             "protein_e2e_best_maa_per_hour": round(maah[-1], 1),
-            "protein_e2e_iqr_pct": round(iqr, 1),
+            "protein_e2e_spread_pct": round(iqr, 1),
             "protein_e2e_protocol": f"median of {P_REPS} warm engine runs, "
                                     f"{P_ORFS} ORFs, "
                                     f"{runs[0]['pairs']} realignments/run",

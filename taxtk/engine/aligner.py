@@ -153,9 +153,10 @@ class BatchAligner:
         )
 
     def _run_host_long(self, pairs, idxs, results):
-        for k in idxs:
-            a, b = pairs[k]
-            self.cells_computed += len(a) * len(b)
+        # NOTE: cells_computed for these pairs is counted by the CALLER
+        # (align_pairs) before the worker thread starts — incrementing the
+        # shared counter from this thread would race the main thread's
+        # bucket increments (stats-only, but it silently undercounts)
         try:
             from ..native import myers_batch, load
 
@@ -235,6 +236,9 @@ class BatchAligner:
             # so long-segment host alignment hides behind device rounds
             import threading
 
+            for k in host_long:
+                a, b = pairs[k]
+                self.cells_computed += len(a) * len(b)
             t_start = _time.time()
 
             def _host_work():
@@ -364,22 +368,37 @@ class BatchAligner:
     def _dispatch_mesh(self, pairs, work, tpu_long, shard_ids, results,
                        finishers):
         """Partition pairs over the dp×tp device grid (tp column = refpack
-        shard owning the pair's reference, dp row round-robin within the
-        column) and run the production dispatch per device.  Each device
-        keeps its own cross-round pool cache, so per-chip wire bytes match
-        the single-chip path."""
+        shard owning the pair's reference, dp row by a STABLE content hash
+        of the pair's text side) and run the production dispatch per
+        device.  Each device keeps its own cross-round pool cache; the
+        stable row assignment keeps a segment's re-alignments (pass 1/2
+        re-use pass-0 segments) on the same device across rounds, so rows
+        stay pool-resident — an arrival-order round-robin scattered each
+        segment over all dp rows and made every row's pool ship nearly
+        everything."""
         import jax
+        import zlib
 
         grid = self.mesh_backend.mesh.devices  # [dp, tp]
         dp, tp = grid.shape
+
+        def dp_row(k):
+            if dp == 1:
+                return 0
+            a, b = pairs[k]
+            t = b if len(b) >= len(a) else a  # text side (longer)
+            # cheap content-stable key: crc of length + boundary bytes
+            # (deterministic across processes, unlike hash())
+            key = b"%d:%s:%s" % (
+                len(t), t[:16].tobytes(), t[-16:].tobytes()
+            )
+            return zlib.crc32(key) % dp
+
         per_dev: Dict[Tuple[int, int], Tuple[List[int], List[int]]] = {}
-        rr = [0] * tp
         for lst, slot in ((work, 0), (tpu_long, 1)):
             for k in lst:
                 c = shard_ids[k]
-                r = rr[c] % dp
-                rr[c] += 1
-                per_dev.setdefault((r, c), ([], []))[slot].append(k)
+                per_dev.setdefault((dp_row(k), c), ([], []))[slot].append(k)
         for (r, c) in sorted(per_dev):
             w, tl = per_dev[(r, c)]
             dev = grid[r][c]

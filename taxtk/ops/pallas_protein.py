@@ -322,13 +322,6 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _pow2_int(x: int) -> int:
-    n = 1
-    while n < x:
-        n <<= 1
-    return n
-
-
 # nibble-packed BLOSUM column table over the 5-bit clamped code space:
 # _PACKED[w, a] = int32 packing (BLOSUM62[a, 8w+j] + 4) << 4j for j in
 # 0..7; sentinel rows/columns (codes >= 27) pack nibble 0 (score -4)
@@ -380,12 +373,11 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     alen_p[:B] = a_len
 
     if pool_cache is not None:
-        from .pallas_myers import _dedupe_pool
-        from .seqpool import DevicePoolCache
+        from .pallas_myers import _dedupe_pool, _pow2
 
         pool = _dedupe_pool(a_codes, b_codes, a_len, b_len)
         rows, plen, idx_a, idx_b, keys = pool
-        Hc = max(_pow2_int(max(Mp, fwd_w)), _POOL_HC_FLOOR)
+        Hc = max(_pow2(max(Mp, fwd_w)), _POOL_HC_FLOOR)
         pool_dev, slots = pool_cache.ensure(8, Hc, keys, rows, plen)
         a_cols = np.zeros(Bp, np.int32)
         b_cols = np.zeros(Bp, np.int32)

@@ -127,6 +127,8 @@ class DevicePoolCache:
         slots = np.empty(len(rows), np.int32)
         missing: List[int] = []
         new_slots: Dict[Tuple[int, bytes], int] = {}
+        n_hits = 0  # committed only if this call goes through (a budget
+        #             reset discards the residency those hits counted on)
         for i, k in enumerate(keys):
             s = p.slots.get(k)
             if s is None:
@@ -136,7 +138,7 @@ class DevicePoolCache:
                 new_slots[k] = s
                 missing.append(i)
             else:
-                self.hits += 1
+                n_hits += 1
             slots[i] = s
         if missing:
             n_new = len(missing)
@@ -152,19 +154,13 @@ class DevicePoolCache:
             if post_bytes > self.budget and (p.n_used or len(self.pools) > 1):
                 # reset BEFORE growing past the budget (reuse is between
                 # adjacent rounds, so a wholesale reset costs at most one
-                # round of re-shipping); a single over-budget append with
-                # nothing to evict goes through regardless
+                # round of re-shipping), then redo the assignment pass
+                # against the fresh pool — the recursion cannot reset
+                # again (fresh pool: n_used == 0 and one pool, so a
+                # single over-budget append goes through regardless)
                 self.pools.clear()
                 self.resets += 1
-                p = self.pool(bits, Hc)
-                missing = list(range(len(rows)))
-                n_new = len(missing)
-                n_pad = _pow2(n_new, minimum=64)
-                new_slots = {k: i for i, k in enumerate(keys)}
-                slots = np.arange(len(rows), dtype=np.int32)
-                need_cap = p.cap
-                if n_pad > need_cap:
-                    need_cap = _pow2(n_pad, minimum=p.cap * 2)
+                return self.ensure(bits, Hc, keys, rows, lens)
             from .pallas_myers import _pack_text_pool
 
             mrows = [rows[i] for i in missing]
@@ -192,4 +188,5 @@ class DevicePoolCache:
             p.dev = new_dev
             p.slots.update(new_slots)
             p.n_used += n_new
+        self.hits += n_hits
         return p.dev, slots

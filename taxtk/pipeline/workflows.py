@@ -131,17 +131,11 @@ class _MergeSortWriter:
             self.buf = []
             return
         self._spill()
-        streams = [(self._key(l := f.readline().rstrip("\n")), l, f)
-                   for f in self.runs]
-        heap = [(k, i, l) for i, (k, l, _) in enumerate(streams)]
-        heapq.heapify(heap)
-        while heap:
-            k, i, line = heapq.heappop(heap)
+        for line in heapq.merge(
+            *((l.rstrip("\n") for l in f) for f in self.runs),
+            key=self._key,
+        ):
             self.out.write(line + "\n")
-            nxt = streams[i][2].readline()
-            if nxt:
-                nl = nxt.rstrip("\n")
-                heapq.heappush(heap, (self._key(nl), i, nl))
         for f in self.runs:
             f.close()
         self.runs = []
@@ -326,7 +320,11 @@ def run_binning_workflow(
     # store (.fai built on first use): each task reads only its covered
     # range, so a config-5-scale query set (1M contigs) never needs to fit
     # in memory (reference indexed query access: sequencestorage.hh:319-406,
-    # taxator -q/-v)
+    # taxator -q/-v).  NOTE: like the reference's indexed store (and the
+    # samtools .fai contract), query ids resolve by the FIRST whitespace
+    # token of the header, and a .fai is written next to the input FASTA —
+    # both intentional reference-parity changes from the old in-memory
+    # full-header keying.
     query_store = IndexedFastaStore(input_fasta)
     db_store = IndexedFastaStore(refpack.refdata, refpack.refdata_index)
 
