@@ -82,6 +82,39 @@ def test_mesh_production_pallas_path(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_dp_rows_are_stable_and_pool_local(tmp_path):
+    """dp rows are assigned by a stable content hash of the pair's text
+    side, so a segment's pass-1/2 re-alignments land on the device whose
+    pool already holds it: per-device pools must actually HIT across
+    rounds (an arrival-order round-robin scattered each segment over all
+    dp rows, defeating the per-device cache), and two identical runs must
+    produce identical per-device traffic."""
+    tax, qseqs, refseqs, recordsets = _make_corpus(tmp_path, seed=33)
+    mesh = make_mesh(8, tp=2)  # dp=4 x tp=2
+
+    def run_and_stats():
+        aligner = BatchAligner(
+            "dna", dna_backend="myers-pallas", mesh=mesh,
+            pallas_interpret=True,
+        )
+        out = run_engine(
+            tax, DictStore(qseqs), DictStore(refseqs), recordsets,
+            aligner=aligner, mesh=mesh,
+        )
+        stats = {
+            str(dev): (c.hits, c.misses)
+            for dev, c in aligner._pool_caches.items()
+        }
+        return out, stats
+
+    out1, stats1 = run_and_stats()
+    out2, stats2 = run_and_stats()
+    assert out1 == out2
+    assert stats1 == stats2  # crc routing is deterministic across runs
+    assert sum(h for h, _ in stats1.values()) > 0  # cross-round locality
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 @pytest.mark.parametrize("tp", [2, 4])
 def test_protein_mesh_byte_identical(tmp_path, tp):
     """Protein on the dp×tp mesh: pairs route per refpack shard and the
