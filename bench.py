@@ -20,11 +20,11 @@ Protocol (round-2, controlled + regressable):
     reliably synchronize on this backend — docs/DESIGN.md section 7)
   * value = MEDIAN over reps; iqr_pct reported for run-to-run spread
 
-Roofline (BASELINE.md "Roofline" section): the kernel executes ~36 VPU ops
-per 32-cell pattern-block step = 1.125 ops/cell (op count annotated in
-ops/pallas_myers.py); v5e VPU peak is 8x128 lanes x 4 ALUs x 0.94 GHz =
-3.85e12 int32 ops/s -> ~3.4e3 GCUPS speed-of-light for this op mix.
-roofline_pct = value / 3400.
+Roofline: see the ROOFLINE_GCUPS note below — round 3 falsified the
+source-op-count model (the unrolled kernel delivered 117% of it), so the
+bound now charges only the ~20 essential core-recurrence ops per 32-cell
+word at the analytic VPU peak (~6.2e3 GCUPS); roofline_pct = value /
+ROOFLINE_GCUPS.
 
 vs_baseline divides by the reference implementation's algorithm on the host
 CPU: our native single-thread Myers bit-vector (taxtk/native/myers.cpp),
