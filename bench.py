@@ -73,6 +73,8 @@ def _run_with_watchdog(timeout_s=2400):
     if os.environ.get("TAXTK_BENCH_INNER") == "1":
         return None  # we ARE the inner process
 
+    last_stderr = [""]
+
     def _inner(mode, env_extra, t):
         cmd = [sys.executable, os.path.abspath(__file__)]
         env = {**os.environ, "TAXTK_BENCH_INNER": "1",
@@ -82,26 +84,38 @@ def _run_with_watchdog(timeout_s=2400):
                 cmd, env=env, capture_output=True, text=True, timeout=t
             )
         except subprocess.TimeoutExpired:
+            last_stderr[0] = f"timeout after {t}s"
             return None
+        last_stderr[0] = r.stderr[-500:] if r.stderr else f"rc={r.returncode}"
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 return _json.loads(line)
         return None
 
     result = _inner("kernel", {}, timeout_s)
+    forced_cpu = {}
     if result is None:
         # fallback: CPU backend (the axon sitecustomize ignores
         # JAX_PLATFORMS, so the inner process switches on this variable)
-        result = _inner("kernel", {"TAXTK_FORCE_CPU": "1"}, timeout_s)
+        forced_cpu = {"TAXTK_FORCE_CPU": "1"}
+        result = _inner("kernel", forced_cpu, timeout_s)
     if result is None:
-        raise RuntimeError("bench failed: no kernel metric")
-    e2e = _inner("e2e", {}, timeout_s)
+        raise RuntimeError(
+            f"bench failed: no kernel metric; stderr tail: {last_stderr[0]}"
+        )
+    # if the chip was unreachable for the kernel bench, don't burn up to
+    # 2x2400s waiting for the e2e runs to hit the same hang — run them on
+    # the same CPU fallback so the driver still gets every field
+    e2e = _inner("e2e", forced_cpu, timeout_s)
     if e2e is None:
-        e2e = {"e2e_error": "timeout"}
+        e2e = {"e2e_error": f"no metric; stderr tail: {last_stderr[0]}"[:300]}
     result.update(e2e)
-    prot = _inner("e2e-protein", {}, timeout_s)
+    prot = _inner("e2e-protein", forced_cpu, timeout_s)
     if prot is None:
-        prot = {"protein_e2e_error": "timeout"}
+        prot = {
+            "protein_e2e_error":
+            f"no metric; stderr tail: {last_stderr[0]}"[:300]
+        }
     result.update(prot)
     print(_json.dumps(result))
     return True

@@ -399,6 +399,8 @@ class BatchAligner:
             for k in lst:
                 c = shard_ids[k]
                 per_dev.setdefault((dp_row(k), c), ([], []))[slot].append(k)
+        if dp > 1:
+            self._balance_dp_rows(per_dev, dp, tp)
         for (r, c) in sorted(per_dev):
             w, tl = per_dev[(r, c)]
             dev = grid[r][c]
@@ -406,6 +408,45 @@ class BatchAligner:
                 self._dispatch_set(
                     pairs, w, tl, results, finishers, self._device_pool(dev)
                 )
+
+    @staticmethod
+    def _balance_dp_rows(per_dev, dp, tp):
+        """Cap per-row load within each tp column at 2x the fair share and
+        spill the overflow to the least-loaded rows (deterministic order).
+        The content-stable dp_row routing keeps segments pool-resident,
+        but a workload where one segment is the text of many pairs would
+        land the whole set on one row and idle the others; spilling only
+        the overflow fraction bounds the imbalance while keeping locality
+        for everything under the cap."""
+        for c in range(tp):
+            rows = {r: per_dev.get((r, c)) for r in range(dp)}
+            loads = {
+                r: (len(v[0]) + len(v[1])) if v else 0
+                for r, v in rows.items()
+            }
+            total = sum(loads.values())
+            if not total:
+                continue
+            cap = max(1, 2 * (-(-total // dp)))
+            spill: List[Tuple[int, int]] = []  # (k, slot)
+            for r in sorted(rows):
+                v = rows[r]
+                if v is None or loads[r] <= cap:
+                    continue
+                excess = loads[r] - cap
+                # take from the tail of the larger slot first (keeps the
+                # head — oldest, most likely pool-resident — in place)
+                for slot in (0, 1):
+                    while excess and v[slot]:
+                        spill.append((v[slot].pop(), slot))
+                        excess -= 1
+                        loads[r] -= 1
+                    if not excess:
+                        break
+            for k, slot in spill:
+                r = min(sorted(loads), key=lambda x: loads[x])
+                per_dev.setdefault((r, c), ([], []))[slot].append(k)
+                loads[r] += 1
 
     def _device_pool(self, dev):
         """Per-device cross-round pool cache (mesh mode): each device's

@@ -356,8 +356,11 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     per byte); only rows not yet on device ship, and sparse buckets stop
     shipping [Bp(=tile-padded), Mp] dense arrays entirely.
     """
-    a_codes = np.asarray(a_codes)
-    b_codes = np.asarray(b_codes)
+    # uint8 coercion: the pool path (_dedupe_pool/_pack_text_pool) keys its
+    # device cache on row bytes, so dtype must be pinned at the entry point
+    # (as the Myers entry points do) or cache keys become caller-dependent
+    a_codes = np.asarray(a_codes, dtype=np.uint8)
+    b_codes = np.asarray(b_codes, dtype=np.uint8)
     a_len = np.asarray(a_len, np.int32)
     b_len = np.asarray(b_len, np.int32)
     B, M = a_codes.shape

@@ -273,3 +273,31 @@ def test_logged_run_cross_checks_merge(tmp_path):
     # a diverging merge must fail loudly, not silently fall back to host
     with pytest.raises(RuntimeError, match="collective pass-0 merge diverged"):
         run_logged(corrupt=True)
+
+
+def test_balance_dp_rows_spills_hot_row():
+    """A skewed workload (every pair hashing to one dp row) must spill the
+    overflow beyond 2x fair share to the idle rows, deterministically,
+    while keeping the head (most pool-resident) of the hot row in place."""
+    from taxtk.engine.aligner import BatchAligner
+
+    dp, tp = 4, 2
+    # all 40 pairs of column 0 land on row 1; column 1 is balanced
+    per_dev = {(1, 0): (list(range(40)), []),
+               (0, 1): ([100, 101], []), (2, 1): ([102], [])}
+    BatchAligner._balance_dp_rows(per_dev, dp, tp)
+    loads0 = {r: len(per_dev.get((r, 0), ([], []))[0]) for r in range(dp)}
+    cap = 2 * (-(-40 // dp))  # 20
+    assert loads0[1] == cap
+    assert sum(loads0.values()) == 40
+    assert max(loads0.values()) - min(loads0.values()) <= cap
+    # head of the hot row stayed (locality preserved for the kept part)
+    assert per_dev[(1, 0)][0][:cap] == list(range(cap))
+    # balanced column untouched
+    assert per_dev[(0, 1)][0] == [100, 101]
+    # deterministic: a second identical invocation gives the same layout
+    per_dev2 = {(1, 0): (list(range(40)), []),
+                (0, 1): ([100, 101], []), (2, 1): ([102], [])}
+    BatchAligner._balance_dp_rows(per_dev2, dp, tp)
+    assert {k: tuple(map(tuple, v)) for k, v in per_dev.items()} == \
+           {k: tuple(map(tuple, v)) for k, v in per_dev2.items()}
