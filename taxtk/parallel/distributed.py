@@ -67,17 +67,25 @@ def host_shard(
             yield rset
 
 
-def merge_gff3_parts(part_paths, out_path) -> None:
-    """Concatenate per-host GFF3 parts, keeping one header, sorted by query
-    id — the reference's documented merge (FAQ#9 + binning-blast.bash:113)."""
-    body = []
-    for p in part_paths:
-        with open(p) as fh:
-            for line in fh:
-                if not line.startswith("#") and line.strip():
-                    body.append(line.rstrip("\n"))
-    body.sort(key=lambda l: l.split("\t", 1)[0])
-    with open(out_path, "w") as fh:
+def merge_gff3_parts(part_paths, out_path, chunk_lines: int = 200_000) -> None:
+    """Merge per-host GFF3 parts, keeping one header, sorted by query id
+    with `LC_ALL=C sort -k1,1` semantics — the reference's documented merge
+    (FAQ#9 + binning-blast.bash:113, which is an external sort for exactly
+    this reason).  Bounded memory: lines stream through the pipeline's
+    external merge sort (sorted tempfile runs + k-way heap merge), never
+    holding more than `chunk_lines` in memory, so the multi-host merge
+    honors the same config-5-scale contract as the single-host path."""
+    import tempfile
+
+    from ..pipeline.workflows import _MergeSortWriter
+
+    with open(out_path, "w") as fh, \
+            tempfile.TemporaryDirectory(prefix="taxtk-merge-") as tmpdir:
         fh.write("##gff-version 3\n")
-        for line in body:
-            fh.write(line + "\n")
+        w = _MergeSortWriter(fh, tmpdir, chunk_lines=chunk_lines)
+        for p in part_paths:
+            with open(p) as src:
+                for line in src:
+                    if not line.startswith("#") and line.strip():
+                        w.write(line if line.endswith("\n") else line + "\n")
+        w.finish()

@@ -84,3 +84,52 @@ def test_two_host_shards_merge_equals_single_run(tmp_path):
         l for l in merged.read_text().splitlines() if not l.startswith("#")
     ]
     assert merged_lines == sorted(full_sorted, key=lambda l: l.split("\t", 1)[0])
+
+
+def test_merge_gff3_parts_bounded_memory_external_sort(tmp_path):
+    """Config-5-scale contract for the MULTI-host merge (round-3 VERDICT
+    item 6): with chunk_lines far below the line count, the merge must
+    spill sorted runs to tempfiles and k-way-merge them — never holding
+    the body in memory — and the output must equal `LC_ALL=C sort -k1,1`
+    of the concatenated bodies (binning-blast.bash:113 semantics)."""
+    import random
+
+    rng = random.Random(7)
+    n_parts, per_part = 4, 5000
+    paths, all_lines = [], []
+    for p in range(n_parts):
+        lines = []
+        for i in range(per_part):
+            qid = f"contig_{rng.randrange(10_000):05d}"
+            line = f"{qid}\ttaxtk\tseq\t1\t{rng.randrange(1, 999)}\t0\t.\t.\tID=q{p}_{i}"
+            lines.append(line)
+        all_lines.extend(lines)
+        f = tmp_path / f"part.{p}.gff3"
+        f.write_text("##gff-version 3\n" + "\n".join(lines) + "\n")
+        paths.append(str(f))
+
+    spills = []
+    from taxtk.pipeline import workflows as wf
+
+    orig = wf._MergeSortWriter._spill
+
+    def counting_spill(self):
+        if self.buf:
+            spills.append(len(self.buf))
+        return orig(self)
+
+    wf._MergeSortWriter._spill = counting_spill
+    try:
+        out = tmp_path / "merged.gff3"
+        merge_gff3_parts(paths, str(out), chunk_lines=1024)
+    finally:
+        wf._MergeSortWriter._spill = orig
+
+    got = out.read_text().splitlines()
+    assert got[0] == "##gff-version 3"
+    # byte-equal to coreutils sort -k1,1 semantics (key, then whole line)
+    expected = sorted(all_lines, key=lambda l: (l.split("\t", 1)[0], l))
+    assert got[1:] == expected
+    # the external sort actually engaged: many spills, all bounded
+    assert len(spills) >= (n_parts * per_part) // 1024 - 1
+    assert max(spills) <= 1024

@@ -40,7 +40,9 @@ def main():
         def __fspath__(self):
             return self.d
 
-    tax, fa, mp, qf, rows, mapping = _mini_refpack(_P(workdir), n_queries=8)
+    n_queries = int(os.environ.get("TAXTK_TEST_NQ", "8"))
+    tax, fa, mp, qf, rows, mapping = _mini_refpack(
+        _P(workdir), n_queries=n_queries)
 
     from taxtk.engine.executor import RpaEngine
     from taxtk.engine.recordsets import iter_record_sets
