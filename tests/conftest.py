@@ -33,6 +33,37 @@ FIXTURES_DIR = pathlib.Path(__file__).parent / "fixtures"
 
 
 @pytest.fixture(scope="session")
+def rpa_ref_oracle():
+    """Path to the reference-code decision oracle (the reference's OWN
+    RPAPredictionModel::predict() + LCA models compiled against its
+    vendored SeqAn, with a minimal Boost shim), building it if necessary.
+    Returns None when the reference tree or toolchain is unavailable."""
+    binary = TOOLS_DIR / "rpa_ref_oracle"
+    if binary.exists():
+        return str(binary)
+    ref = pathlib.Path("/root/reference/core")
+    if not ref.exists():
+        return None
+    cmd = [
+        "g++", "-std=c++14", "-O2", "-w",
+        "-I", str(TOOLS_DIR / "boost_shim"),
+        "-I", str(ref / "includes-external"),
+        "-I", str(ref),
+        str(TOOLS_DIR / "rpa_ref_oracle.cpp"),
+    ] + [
+        str(ref / "src" / f)
+        for f in ("taxontree.cpp", "taxonomyinterface.cpp", "ncbidata.cpp",
+                  "accessconv.cpp", "predictionrecord.cpp")
+    ] + ["-o", str(binary), "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=900)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return None
+    return str(binary)
+
+
+@pytest.fixture(scope="session")
 def seqan_oracle():
     """Path to the SeqAn golden-oracle binary, building it if necessary.
     Returns None when it cannot be built (tests fall back to committed
