@@ -296,15 +296,73 @@ def _bench_e2e(platform):
         return {"e2e_error": f"{type(e).__name__}: {e}"[:200]}
 
 
+def _bench_protein_kernel(platform):
+    """Protein kernel GCUPS + protein_vs_baseline: the TPU wavefront at
+    the canonical 512x256x256 launch vs the reference's algorithm
+    (BLOSUM62 + linear-gap global NW, taxonpredictionmodelsequence.hh:
+    173-242) on ONE CPU core (taxtk/native/protein.cpp — score-only
+    mutual DP, generously excluding the reference's two extra self-DPs
+    and traceback, so the ratio is conservative).  Correctness: kernel
+    mutual scores must equal the native scores on a subsample."""
+    import time as _t
+
+    import numpy as np
+
+    Bp, Mp, Np = 512, 256, 256
+    rng = np.random.RandomState(7)
+    from taxtk.ops.blosum import AA_ORDER
+
+    std = np.array([AA_ORDER.index(c) for c in "ACDEFGHIKLMNPQRSTVWY"],
+                   np.uint8)
+    a = std[rng.randint(0, 20, (Bp, Mp))]
+    b = std[rng.randint(0, 20, (Bp, Np))]
+    al = np.full(Bp, Mp, np.int32)
+    bl = np.full(Bp, Np, np.int32)
+    out = {}
+    try:
+        if platform == "cpu":
+            from taxtk.ops.protein_align import batched_protein_align as run
+        else:
+            from taxtk.ops.pallas_protein import (
+                batched_protein_align_pallas as run,
+            )
+        res = run(a, b, al, bl)  # warm-up + correctness harvest
+        gc = []
+        for _ in range(5):
+            t0 = _t.time()
+            run(a, b, al, bl)
+            gc.append(Bp * Mp * Np / (_t.time() - t0) / 1e9)
+        gc.sort()
+        out["protein_kernel_gcups"] = round(gc[len(gc) // 2], 2)
+
+        from taxtk.native import load, protein_nw_batch
+
+        if load() is not None:
+            n = 64
+            pairs = [(a[i], b[i]) for i in range(n)]
+            t0 = _t.time()
+            cpu = protein_nw_batch(pairs, n_threads=1)
+            cpu_gcups = n * Mp * Np / (_t.time() - t0) / 1e9
+            out["protein_vs_baseline"] = round(
+                out["protein_kernel_gcups"] / cpu_gcups, 2)
+            assert (np.asarray(res["mutual"][:n], np.int32) == cpu).all(), \
+                "protein kernel vs native NW mismatch"
+    except Exception as e:  # pragma: no cover - environment-specific
+        out["protein_kernel_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
 def _bench_e2e_protein(platform):
     """Protein engine throughput (Maa classified/hour): blastp-style ORF
     workload through the full protein RPA path, same protocol as the DNA
-    e2e (warm-up run + timed reps, median/best/min-max spread)."""
+    e2e (warm-up run + timed reps, median/best/min-max spread), plus the
+    protein kernel + CPU-baseline metrics (_bench_protein_kernel)."""
     import os
     import sys
     import tempfile
 
-    P_ORFS, P_REPS = 2000, 3
+    P_ORFS, P_REPS = 2000, 5
+    out = _bench_protein_kernel(platform)
     try:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
@@ -328,16 +386,17 @@ def _bench_e2e_protein(platform):
         )
         med = maah[len(maah) // 2]
         iqr = 100.0 * (maah[-1] - maah[0]) / med if med else 0.0
-        return {
+        out.update({
             "protein_e2e_maa_per_hour": round(med, 1),
             "protein_e2e_best_maa_per_hour": round(maah[-1], 1),
             "protein_e2e_spread_pct": round(iqr, 1),
             "protein_e2e_protocol": f"median of {P_REPS} warm engine runs, "
                                     f"{P_ORFS} ORFs, "
                                     f"{runs[0]['pairs']} realignments/run",
-        }
+        })
     except Exception as e:  # pragma: no cover - environment-specific
-        return {"protein_e2e_error": f"{type(e).__name__}: {e}"[:200]}
+        out["protein_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 if __name__ == "__main__":

@@ -17,7 +17,7 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _LIB_PATH = os.path.join(_HERE, "libtaxtk_native.so")
-_SRC = os.path.join(_HERE, "myers.cpp")
+_SRCS = [os.path.join(_HERE, "myers.cpp"), os.path.join(_HERE, "protein.cpp")]
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
@@ -32,7 +32,7 @@ def _build() -> bool:
                 "-shared",
                 "-fPIC",
                 "-pthread",
-                _SRC,
+                *_SRCS,
                 "-o",
                 _LIB_PATH,
             ],
@@ -49,7 +49,9 @@ def load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < max(
+            os.path.getmtime(s) for s in _SRCS
+        ):
             if not _build():
                 return None
         lib = ctypes.CDLL(_LIB_PATH)
@@ -85,6 +87,24 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int,
+            ]
+        except AttributeError:  # pragma: no cover - stale .so
+            pass
+        try:
+            lib.taxtk_protein_nw_batch.restype = None
+            lib.taxtk_protein_nw_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int,
             ]
         except AttributeError:  # pragma: no cover - stale .so
@@ -170,4 +190,57 @@ def myers_batch(pairs, n_threads: int = 0) -> np.ndarray:
         lib.taxtk_myers_batch_mt(*args, n_threads)
     else:
         lib.taxtk_myers_batch(*args)
+    return out
+
+
+def protein_nw_batch(pairs, n_threads: int = 1) -> np.ndarray:
+    """Batched global NW scores (BLOSUM62 + linear gap -1, the reference
+    protein kernel's scoring scheme) -> int32 mutual scores.
+
+    pairs: list of (a_codes, b_codes) uint8 arrays indexing the SeqAn
+    AminoAcid alphabet (ops.blosum.AA_ORDER).  n_threads=1 is the
+    single-core baseline path bench.py uses for protein_vs_baseline;
+    0 = all cores."""
+    from ..ops.blosum import BLOSUM62, GAP_SCORE
+
+    lib = load()
+    assert lib is not None and hasattr(lib, "taxtk_protein_nw_batch"), \
+        "native protein library unavailable"
+    if n_threads == 0:
+        n_threads = os.cpu_count() or 1
+    n = len(pairs)
+    out = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out
+    sub = np.ascontiguousarray(BLOSUM62, np.int8)
+    alpha = sub.shape[0]
+    a_flat = np.concatenate(
+        [np.ascontiguousarray(a, np.uint8) for a, _ in pairs])
+    b_flat = np.concatenate(
+        [np.ascontiguousarray(b, np.uint8) for _, b in pairs])
+    a_len = np.array([len(a) for a, _ in pairs], dtype=np.int32)
+    b_len = np.array([len(b) for _, b in pairs], dtype=np.int32)
+    a_off = np.zeros(n, dtype=np.int64)
+    b_off = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        a_off[1:] = np.cumsum(a_len[:-1])
+        b_off[1:] = np.cumsum(b_len[:-1])
+    if len(a_flat) == 0:
+        a_flat = np.zeros(1, np.uint8)
+    if len(b_flat) == 0:
+        b_flat = np.zeros(1, np.uint8)
+    lib.taxtk_protein_nw_batch(
+        a_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        a_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        alpha,
+        GAP_SCORE,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
     return out

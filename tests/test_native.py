@@ -99,3 +99,59 @@ def test_native_backend_aligner_matches_oracle():
         assert v.distance == np.float32(r.distance), (len(a), len(b))
         assert v.similarity == np.float32(r.similarity)
     assert al.cells_computed > 0
+
+
+def test_native_protein_nw_matches_seqan_golden():
+    """The native protein CPU baseline (BLOSUM62 + linear-gap global NW,
+    native/protein.cpp — the reference algorithm of
+    taxonpredictionmodelsequence.hh:173-242) is bit-exact against the
+    vendored-SeqAn golden corpus, mutual scores AND selfscores."""
+    import os
+
+    from taxtk.native import protein_nw_batch
+    from taxtk.ops.blosum import AA_ORDER
+
+    if load_myers() is None:
+        pytest.skip("native toolchain unavailable")
+    idx = {c: i for i, c in enumerate(AA_ORDER)}
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    pairs, exp_mutual, exp_self = [], [], []
+    for name in ("seqan_golden.tsv", "seqan_golden_r2.tsv"):
+        with open(os.path.join(fixtures, name)) as fh:
+            for line in fh:
+                if not line.startswith("prot"):
+                    continue
+                _, sa, sb, vals = line.rstrip("\n").split("\t")
+                self_, mutual = map(int, vals.split(",")[:2])
+                pairs.append(
+                    (np.array([idx[c] for c in sa], np.uint8),
+                     np.array([idx[c] for c in sb], np.uint8)))
+                exp_mutual.append(mutual)
+                exp_self.append(self_)
+    assert len(pairs) > 1000
+    got = protein_nw_batch(pairs, n_threads=1)
+    assert got.tolist() == exp_mutual
+    selfs = (protein_nw_batch([(a, a) for a, _ in pairs], n_threads=0)
+             + protein_nw_batch([(b, b) for _, b in pairs], n_threads=0))
+    assert selfs.tolist() == exp_self
+
+
+def test_native_protein_nw_empty_and_threads():
+    from taxtk.native import protein_nw_batch
+
+    if load_myers() is None:
+        pytest.skip("native toolchain unavailable")
+    assert protein_nw_batch([], n_threads=1).tolist() == []
+    a = np.array([0, 2, 3], np.uint8)
+    empty = np.zeros(0, np.uint8)
+    # empty side: pure gap run at -1/position
+    assert protein_nw_batch([(a, empty)], n_threads=1).tolist() == [-3]
+    rng = np.random.RandomState(3)
+    pairs = [
+        (rng.randint(0, 24, rng.randint(1, 60)).astype(np.uint8),
+         rng.randint(0, 24, rng.randint(1, 60)).astype(np.uint8))
+        for _ in range(40)
+    ]
+    st = protein_nw_batch(pairs, n_threads=1)
+    mt = protein_nw_batch(pairs, n_threads=0)
+    assert st.tolist() == mt.tolist()
