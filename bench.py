@@ -251,6 +251,97 @@ def main():
     print(json.dumps(result))
 
 
+class _H2DMeter:
+    """Counts host->device ship bytes/seconds by wrapping jnp.asarray +
+    jax.device_put for the duration of a run (the mechanism
+    benchmarks/probe_e2e_device_breakdown.py validated).  Separating the
+    code-determined term (bytes) from the link-determined term (seconds)
+    makes tunnel-vs-code regression attribution mechanical: bytes moved
+    -> code changed; same bytes, more seconds -> the link."""
+
+    def __init__(self):
+        self.bytes = 0
+        self.seconds = 0.0
+
+    def __enter__(self):
+        import time as _t
+
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp, self._jax = jnp, jax
+        self._orig_asarray = jnp.asarray
+        self._orig_put = jax.device_put
+
+        def _wrap(fn):
+            def inner(x, *a, **kw):
+                t0 = _t.time()
+                out = fn(x, *a, **kw)
+                if hasattr(x, "nbytes"):
+                    self.bytes += x.nbytes
+                self.seconds += _t.time() - t0
+                return out
+
+            return inner
+
+        jnp.asarray = _wrap(self._orig_asarray)
+        jax.device_put = _wrap(self._orig_put)
+        return self
+
+    def __exit__(self, *exc):
+        self._jnp.asarray = self._orig_asarray
+        self._jax.device_put = self._orig_put
+        return False
+
+    def take(self):
+        b, s = self.bytes, self.seconds
+        self.bytes, self.seconds = 0, 0.0
+        return b, s
+
+
+def _e2e_runs(bench_e2e, paths, ranks, backend, reps):
+    """One warm-up + `reps` timed engine runs with per-run H2D metering;
+    returns the timed run dicts, each annotated with h2d_mb/h2d_s."""
+    runs = []
+    with _H2DMeter() as meter:
+        for rep in range(reps + 1):  # first run = warm-up/compile
+            meter.take()
+            r = bench_e2e.run_once(paths, ranks, backend)
+            b, s = meter.take()
+            if rep > 0:
+                r["h2d_mb"] = b / 1e6
+                r["h2d_s"] = s
+                runs.append(r)
+    return runs
+
+
+def _summarize_e2e(runs, prefix):
+    """Median/best/spread + the median run's device/host/H2D stage
+    breakdown (tunnel-vs-code attribution, see _H2DMeter)."""
+    key = lambda r: r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0)
+    runs = sorted(runs, key=key)
+    mbph = [key(r) for r in runs]
+    med_run = runs[len(runs) // 2]
+    med = mbph[len(mbph) // 2]
+    spread = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
+    al = med_run.get("aligner", {})
+    mt = med_run.get("metrics", {})
+    host_s = (al.get("stage_batch", 0.0) + al.get("host_long", 0.0)
+              + al.get("collect", 0.0) + mt.get("replay", 0.0)
+              + mt.get("fetch", 0.0))
+    return {
+        f"{prefix}_mbp_per_hour": round(med, 1),
+        f"{prefix}_best_mbp_per_hour": round(mbph[-1], 1),
+        f"{prefix}_spread_pct": round(spread, 1),
+        f"{prefix}_engine_s": round(med_run["engine_s"], 2),
+        f"{prefix}_device_s": round(al.get("device", 0.0), 2),
+        f"{prefix}_device_wait_s": round(al.get("device_wait", 0.0), 2),
+        f"{prefix}_host_s": round(host_s, 2),
+        f"{prefix}_h2d_mb": round(med_run.get("h2d_mb", 0.0), 1),
+        f"{prefix}_h2d_s": round(med_run.get("h2d_s", 0.0), 2),
+    }
+
+
 def _bench_e2e(platform):
     """End-to-end engine throughput (the BASELINE.json north-star metric:
     Mbp classified/hour) with the kernel bench's protocol: fixed synthetic
@@ -258,13 +349,21 @@ def _bench_e2e(platform):
     skewed candidate counts), one warm-up engine run, then E2E_REPS timed
     runs; report the MEDIAN, the full min-max spread, and the best rep (the shared tunnel's
     congestion spikes make the median a lower bound on chip capability —
-    measured same-day spreads of 2-10 Gbp/h with identical code).  Returns
-    an error field on failure so the kernel metric is never lost."""
+    measured same-day spreads of 2-10 Gbp/h with identical code).  Each
+    metric family carries the median run's device/device_wait/host/H2D
+    breakdown so a tunnel regression is distinguishable from a code one.
+    On TPU additionally runs the config-4 surrogate: 1-100 kbp contigs
+    (BASELINE config 4's length mix scaled to the bench budget — the full
+    10k-contig run is ~800x the DP cells), which exercises the long-pair
+    chunked path and the >96 kbp host fallback.  Returns an error field
+    on failure so the kernel metric is never lost."""
     import os
     import sys
     import tempfile
 
     E2E_CONTIGS, E2E_REPS = 300, 5
+    C4_CONTIGS, C4_REPS = 350, 3
+    out = {}
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
         import bench_e2e
@@ -274,26 +373,29 @@ def _bench_e2e(platform):
         backend = "native" if platform == "cpu" else None
         with tempfile.TemporaryDirectory() as d:
             paths = bench_e2e.make_workload(d, E2E_CONTIGS)
-            runs = []
-            for rep in range(E2E_REPS + 1):  # first run = warm-up/compile
-                r = bench_e2e.run_once(paths, list(DEFAULT_RANKS), backend)
-                if rep > 0:
-                    runs.append(r)
-        mbph = sorted(
-            r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0) for r in runs
+            runs = _e2e_runs(bench_e2e, paths, list(DEFAULT_RANKS),
+                             backend, E2E_REPS)
+        out.update(_summarize_e2e(runs, "e2e"))
+        out["e2e_protocol"] = (
+            f"median of {E2E_REPS} warm engine runs, "
+            f"{E2E_CONTIGS} contigs 1-20kbp, "
+            f"{runs[0]['cells']:.2e} DP cells/run"
         )
-        med = mbph[len(mbph) // 2]
-        iqr = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
-        return {
-            "e2e_mbp_per_hour": round(med, 1),
-            "e2e_best_mbp_per_hour": round(mbph[-1], 1),
-            "e2e_spread_pct": round(iqr, 1),
-            "e2e_protocol": f"median of {E2E_REPS} warm engine runs, "
-                            f"{E2E_CONTIGS} contigs 1-20kbp, "
-                            f"{runs[0]['cells']:.2e} DP cells/run",
-        }
+        if platform != "cpu":  # config-4 surrogate: too slow on CPU
+            with tempfile.TemporaryDirectory() as d:
+                paths = bench_e2e.make_workload(
+                    d, C4_CONTIGS, max_len=100_000)
+                runs4 = _e2e_runs(bench_e2e, paths, list(DEFAULT_RANKS),
+                                  backend, C4_REPS)
+            out.update(_summarize_e2e(runs4, "e2e_config4"))
+            out["e2e_config4_protocol"] = (
+                f"median of {C4_REPS} warm engine runs, "
+                f"{C4_CONTIGS} contigs 1-100kbp (config-4 surrogate), "
+                f"{runs4[0]['cells']:.2e} DP cells/run"
+            )
     except Exception as e:  # pragma: no cover - environment-specific
-        return {"e2e_error": f"{type(e).__name__}: {e}"[:200]}
+        out["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def _bench_protein_kernel(platform):
