@@ -754,16 +754,30 @@ class RpaTask:
                             outgroup.remove(i)
                     else:
                         if self.querydistance[index_anchor] == FLT_MAX:
-                            # align query <=> anchor (:792-808)
+                            # align query <=> anchor (:792-808); the log
+                            # line mixes the CURRENT record's identities
+                            # (qsearchmatch, :765) with the ANCHOR's
+                            # score — reference quirk, mirrored
                             aln = cache[("q", index_anchor, -1)]
                             qa_dist = aln.distance
                             qa_sim = max(
                                 aln.similarity, self.querysimilarity[index_anchor]
                             )
+                            self._log_aln(
+                                "+", "query", str(index_anchor),
+                                qa_dist, qa_sim,
+                                f"; qsearchscore="
+                                f"{self._f2(records[index_anchor].score)}; "
+                                f"qsearchmatch={records[i].identities}; "
+                                f"qpid={self._f2(float(qa_sim) / self.qrlength)}",
+                            )
                             self.querydistance[index_anchor] = qa_dist
                             self.querysimilarity[index_anchor] = qa_sim
                             self.counters["p2"] += 1
                             qdist_ex = f32(qa_dist * self.bandfactor_max)
+                            self._log(
+                                f"      query: ({self._f2(qdist_ex)}) unknown"
+                            )
                         else:
                             qdist_ex = f32(
                                 self.querydistance[index_anchor] * self.bandfactor_max
@@ -777,6 +791,9 @@ class RpaTask:
                                     f"{int(self.tax.depth[self._lca(cnode, records[index_anchor].reference_node)])} )"
                                 )
                 i += 1
+            # per-iteration trailing endl (:820) — emitted for every
+            # outgroup anchor that reaches the candidate loop
+            self._log("")
 
         self._log(
             f"    NUMALN\t{self.counters['p2']}\t"

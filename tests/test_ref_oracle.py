@@ -43,9 +43,16 @@ def _mutate(rng, s, rate, alphabet="ACGT"):
     )
 
 
-def _make_corpus(tmp_path, seed=0, n_queries=40, protein=False):
+def _make_corpus(tmp_path, seed=0, n_queries=40, protein=False,
+                 tie_free=False):
     """Synthetic refpack + alignment rows exercising the predict()
-    branch inventory; returns dict(dir, mapping, qfile, refdata, rows)."""
+    branch inventory; returns dict(dir, mapping, qfile, refdata, rows).
+
+    tie_free=True drops the 'tie' kind and forces DISTINCT search scores
+    within each query run: the reference sorts records by score with
+    std::sort (unstable), so score ties permute record INDICES — GFF3
+    output is tie-invariant but the decision LOG's per-index lines are
+    not.  Log byte-parity is only defined on tie-free inputs."""
     rng = random.Random(seed)
     write_dump(str(tmp_path))
     alphabet = "ACDEFGHIKLMNPQRSTVWY" if protein else "ACGT"
@@ -75,7 +82,22 @@ def _make_corpus(tmp_path, seed=0, n_queries=40, protein=False):
              "edge", "masked", "allmasked"]
     if protein:  # no reverse complement in protein space
         kinds = ["plain", "exact", "single", "two_seg", "tie", "masked"]
+    if tie_free:
+        kinds = [k for k in kinds if k != "tie"]
     queries, rows = {}, []
+    used_scores = {}  # qid -> set of scores already emitted (tie_free)
+
+    def uniq_score(qid, ident, slen):
+        """Score for a fabricated row; in tie_free mode decrement ident
+        until the score is unique within the query run."""
+        score = round(2.0 * ident - slen, 1)
+        if tie_free:
+            used = used_scores.setdefault(qid, set())
+            while score in used and ident > 1:
+                ident -= 1
+                score = round(2.0 * ident - slen, 1)
+            used.add(score)
+        return ident, score
 
     def cand_rows(qid, qstart, qstop, qlen, seg, n_cand, jitter=0,
                   mask_frac=0.0):
@@ -90,8 +112,8 @@ def _make_corpus(tmp_path, seed=0, n_queries=40, protein=False):
             qs = max(1, qstart + j)
             qe = min(qlen, qstop + j)
             slen = qe - qs + 1
-            ident = int(slen * rng.uniform(0.62, 0.98))
-            score = round(2.0 * ident - slen, 1)
+            ident, score = uniq_score(
+                qid, int(slen * rng.uniform(0.62, 0.98)), slen)
             rs, re_ = off + 1, off + slen
             mask = "*" if rng.random() < mask_frac else ""
             out.append(
@@ -120,6 +142,9 @@ def _make_corpus(tmp_path, seed=0, n_queries=40, protein=False):
             qlen = len(qseq)
             # best row: the exact hit (identities == alignment_length ==
             # query range) -> the local-score fast path
+            if tie_free:  # reserve the exact row's score first
+                used_scores.setdefault(qid, set()).add(
+                    round(float(qlen), 1))
             rows.append(
                 f"{qid}\t1\t{qlen}\t{qlen}\t{rid}\t{start+1}\t"
                 f"{start+qlen}\t{float(2*qlen-qlen):.1f}\t1e-30\t{qlen}\t{qlen}"
@@ -130,8 +155,8 @@ def _make_corpus(tmp_path, seed=0, n_queries=40, protein=False):
             queries[qid] = qseq
             qlen = len(qseq)
             for rid in rng.sample(sorted(genomes), 4):
-                ident = int(qlen * rng.uniform(0.65, 0.95))
-                score = round(2.0 * ident - qlen, 1)
+                ident, score = uniq_score(
+                    qid, int(qlen * rng.uniform(0.65, 0.95)), qlen)
                 # swapped reference coordinates signal reverse complement
                 rows.append(
                     f"{qid}\t1\t{qlen}\t{qlen}\t{rid}\t{start+qlen}\t"
@@ -174,10 +199,11 @@ def _make_corpus(tmp_path, seed=0, n_queries=40, protein=False):
             queries[qid] = qseq
             qlen = len(qseq)
             for rid in rng.sample(sorted(genomes), 3):
-                ident = int(qlen * rng.uniform(0.7, 0.95))
+                ident, score = uniq_score(
+                    qid, int(qlen * rng.uniform(0.7, 0.95)), qlen)
                 rows.append(
                     f"{qid}\t3\t{qlen}\t{qlen}\t{rid}\t1\t{qlen-2}\t"
-                    f"{round(2.0*ident-qlen, 1)}\t1e-10\t{ident}\t{qlen-2}"
+                    f"{score}\t1e-10\t{ident}\t{qlen-2}"
                 )
         elif kind == "masked":
             qseq = _mutate(rng, seg, 0.04, alphabet)
@@ -396,6 +422,43 @@ def test_lca_models_byte_identical(rpa_ref_oracle, tmp_path, monkeypatch,
                            extra=["--algorithm", algo, *ref_args])
     got = _run_taxtk(corpus, ["-a", algo, *tk_args], monkeypatch, capsys)
     assert got == expected
+
+
+def _normalize_log(text):
+    """Zero the STATS CPU-time fields (init/seqret/process, clock() ms
+    in the reference, structural zeros in the replay) — the only
+    non-deterministic content in the decision log."""
+    out = []
+    for line in text.splitlines():
+        if line.startswith("STATS\t"):
+            f = line.split("\t")
+            if len(f) >= 11:
+                f[7] = f[8] = f[9] = "0"
+            line = "\t".join(f)
+        out.append(line)
+    return "\n".join(out)
+
+
+def test_dna_decision_log_byte_identical(rpa_ref_oracle, tmp_path,
+                                         monkeypatch, capsys):
+    """The FULL decision log (-l): every ID/NUMREF/PASS/+ALN/EXT/SCORE/
+    NUMALN/NUMOUTGRP/RANGE/STATS line the reference's predict() writes to
+    its logsink, byte-identical modulo CPU-time fields.  Requires the
+    tie-free corpus: score ties permute record indices via the
+    reference's unstable std::sort (see _make_corpus)."""
+    _require(rpa_ref_oracle)
+    corpus = _make_corpus(tmp_path, seed=808, n_queries=45, tie_free=True)
+    reflog = str(tmp_path / "ref.log")
+    tklog = str(tmp_path / "tk.log")
+    expected = _run_oracle(rpa_ref_oracle, corpus,
+                           extra=["--log", reflog])
+    got = _run_taxtk(corpus, ["-l", tklog], monkeypatch, capsys)
+    assert got == expected  # GFF3 parity holds too
+    ref_log = _normalize_log(open(reflog).read())
+    tk_log = _normalize_log(open(tklog).read())
+    assert tk_log == ref_log
+    # the log actually exercised the full pass structure
+    assert "PASS\t2" in ref_log and "+ALN" in ref_log
 
 
 def test_inmemory_revcomp_divergence_documented(rpa_ref_oracle, tmp_path,
