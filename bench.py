@@ -117,8 +117,36 @@ def _run_with_watchdog(timeout_s=2400):
             f"no metric; stderr tail: {last_stderr[0]}"[:300]
         }
     result.update(prot)
+    _add_local_projection(result)
     print(_json.dumps(result))
     return True
+
+
+def _add_local_projection(result):
+    """Non-tunneled deployment projection (round-3 VERDICT weak #3): the
+    e2e medians here ride a shared tunnel whose per-launch RTT and H2D
+    seconds dominate device_wait.  A locally-attached chip would pay
+    host_s (unchanged) + the pure kernel time for the run's DP cells at
+    the same-session measured kernel rate + H2D at PCIe-class bandwidth
+    (~10 GB/s, negligible at these byte counts).  This is a MODEL, not a
+    measurement — fields are suffixed _projected and carry the formula."""
+    kern = result.get("value")  # kernel GCUPS, same session
+    if not kern or result.get("metric", "").endswith("cpu"):
+        return
+    for prefix in ("e2e", "e2e_config4"):
+        cells = result.get(f"{prefix}_cells")
+        qbp = result.get(f"{prefix}_qbp")
+        host_s = result.get(f"{prefix}_host_s")
+        if not cells or not qbp or host_s is None:
+            continue
+        h2d_mb = result.get(f"{prefix}_h2d_mb", 0.0)
+        proj_s = host_s + cells / (kern * 1e9) + h2d_mb / 10_000.0
+        result[f"{prefix}_projected_local_mbp_per_hour"] = round(
+            qbp / 1e6 / (proj_s / 3600.0), 1)
+    result["projection_model"] = (
+        "host_s + cells/kernel_gcups + h2d_mb/10GBps — local-chip model, "
+        "removes tunnel RTT/bandwidth from device_wait"
+    )
 
 
 def _stage_tpu(seed):
@@ -339,6 +367,8 @@ def _summarize_e2e(runs, prefix):
         f"{prefix}_host_s": round(host_s, 2),
         f"{prefix}_h2d_mb": round(med_run.get("h2d_mb", 0.0), 1),
         f"{prefix}_h2d_s": round(med_run.get("h2d_s", 0.0), 2),
+        f"{prefix}_cells": med_run.get("cells", 0),
+        f"{prefix}_qbp": med_run.get("total_qbp", 0),
     }
 
 
