@@ -327,14 +327,14 @@ class _H2DMeter:
         return b, s
 
 
-def _e2e_runs(bench_e2e, paths, ranks, backend, reps):
+def _e2e_runs(runner, reps):
     """One warm-up + `reps` timed engine runs with per-run H2D metering;
     returns the timed run dicts, each annotated with h2d_mb/h2d_s."""
     runs = []
     with _H2DMeter() as meter:
         for rep in range(reps + 1):  # first run = warm-up/compile
             meter.take()
-            r = bench_e2e.run_once(paths, ranks, backend)
+            r = runner()
             b, s = meter.take()
             if rep > 0:
                 r["h2d_mb"] = b / 1e6
@@ -343,24 +343,15 @@ def _e2e_runs(bench_e2e, paths, ranks, backend, reps):
     return runs
 
 
-def _summarize_e2e(runs, prefix):
-    """Median/best/spread + the median run's device/host/H2D stage
-    breakdown (tunnel-vs-code attribution, see _H2DMeter)."""
-    key = lambda r: r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0)
-    runs = sorted(runs, key=key)
-    mbph = [key(r) for r in runs]
-    med_run = runs[len(runs) // 2]
-    med = mbph[len(mbph) // 2]
-    spread = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
+def _breakdown_fields(med_run, prefix):
+    """The median run's device/host/H2D stage breakdown (tunnel-vs-code
+    attribution, see _H2DMeter)."""
     al = med_run.get("aligner", {})
     mt = med_run.get("metrics", {})
     host_s = (al.get("stage_batch", 0.0) + al.get("host_long", 0.0)
               + al.get("collect", 0.0) + mt.get("replay", 0.0)
               + mt.get("fetch", 0.0))
     return {
-        f"{prefix}_mbp_per_hour": round(med, 1),
-        f"{prefix}_best_mbp_per_hour": round(mbph[-1], 1),
-        f"{prefix}_spread_pct": round(spread, 1),
         f"{prefix}_engine_s": round(med_run["engine_s"], 2),
         f"{prefix}_device_s": round(al.get("device", 0.0), 2),
         f"{prefix}_device_wait_s": round(al.get("device_wait", 0.0), 2),
@@ -370,6 +361,23 @@ def _summarize_e2e(runs, prefix):
         f"{prefix}_cells": med_run.get("cells", 0),
         f"{prefix}_qbp": med_run.get("total_qbp", 0),
     }
+
+
+def _summarize_e2e(runs, prefix):
+    """Median/best/spread + the median run's stage breakdown."""
+    key = lambda r: r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0)
+    runs = sorted(runs, key=key)
+    mbph = [key(r) for r in runs]
+    med_run = runs[len(runs) // 2]
+    med = mbph[len(mbph) // 2]
+    spread = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
+    out = {
+        f"{prefix}_mbp_per_hour": round(med, 1),
+        f"{prefix}_best_mbp_per_hour": round(mbph[-1], 1),
+        f"{prefix}_spread_pct": round(spread, 1),
+    }
+    out.update(_breakdown_fields(med_run, prefix))
+    return out
 
 
 def _bench_e2e(platform):
@@ -401,10 +409,12 @@ def _bench_e2e(platform):
         from taxtk.constants import DEFAULT_RANKS
 
         backend = "native" if platform == "cpu" else None
+        ranks = list(DEFAULT_RANKS)
         with tempfile.TemporaryDirectory() as d:
             paths = bench_e2e.make_workload(d, E2E_CONTIGS)
-            runs = _e2e_runs(bench_e2e, paths, list(DEFAULT_RANKS),
-                             backend, E2E_REPS)
+            runs = _e2e_runs(
+                lambda: bench_e2e.run_once(paths, ranks, backend),
+                E2E_REPS)
         out.update(_summarize_e2e(runs, "e2e"))
         out["e2e_protocol"] = (
             f"median of {E2E_REPS} warm engine runs, "
@@ -413,10 +423,11 @@ def _bench_e2e(platform):
         )
         if platform != "cpu":  # config-4 surrogate: too slow on CPU
             with tempfile.TemporaryDirectory() as d:
-                paths = bench_e2e.make_workload(
+                paths4 = bench_e2e.make_workload(
                     d, C4_CONTIGS, max_len=100_000)
-                runs4 = _e2e_runs(bench_e2e, paths, list(DEFAULT_RANKS),
-                                  backend, C4_REPS)
+                runs4 = _e2e_runs(
+                    lambda: bench_e2e.run_once(paths4, ranks, backend),
+                    C4_REPS)
             out.update(_summarize_e2e(runs4, "e2e_config4"))
             out["e2e_config4_protocol"] = (
                 f"median of {C4_REPS} warm engine runs, "
@@ -459,11 +470,19 @@ def _bench_protein_kernel(platform):
                 batched_protein_align_pallas as run,
             )
         res = run(a, b, al, bl)  # warm-up + correctness harvest
+        # chained one-sync protocol (the kernel bench's): a per-call sync
+        # through the tunnel costs 30-50 ms — at 33.5M cells/launch that
+        # alone caps the naive protocol at ~1 GCUPS regardless of the
+        # kernel (measured: BENCH r4 run 1); dispatch CHAIN lazy
+        # launches, then finish them all behind one wave of readbacks
+        CHAIN = 8
         gc = []
         for _ in range(5):
             t0 = _t.time()
-            run(a, b, al, bl)
-            gc.append(Bp * Mp * Np / (_t.time() - t0) / 1e9)
+            fins = [run(a, b, al, bl, lazy=True) for _ in range(CHAIN)]
+            for f in fins:
+                f()
+            gc.append(CHAIN * Bp * Mp * Np / (_t.time() - t0) / 1e9)
         gc.sort()
         out["protein_kernel_gcups"] = round(gc[len(gc) // 2], 2)
 
@@ -503,19 +522,16 @@ def _bench_e2e_protein(platform):
         from taxtk.constants import DEFAULT_RANKS
 
         backend = "wavefront" if platform == "cpu" else None
+        ranks = list(DEFAULT_RANKS)
         with tempfile.TemporaryDirectory() as d:
             paths = bench_e2e.make_workload_protein(d, P_ORFS)
-            runs = []
-            for rep in range(P_REPS + 1):  # first run = warm-up/compile
-                r = bench_e2e.run_once(
-                    paths, list(DEFAULT_RANKS), protein=True,
-                    protein_backend=backend,
-                )
-                if rep > 0:
-                    runs.append(r)
-        maah = sorted(
-            r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0) for r in runs
-        )
+            runs = _e2e_runs(
+                lambda: bench_e2e.run_once(
+                    paths, ranks, protein=True, protein_backend=backend),
+                P_REPS)
+        key = lambda r: r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0)
+        runs = sorted(runs, key=key)
+        maah = [key(r) for r in runs]
         med = maah[len(maah) // 2]
         iqr = 100.0 * (maah[-1] - maah[0]) / med if med else 0.0
         out.update({
@@ -526,6 +542,7 @@ def _bench_e2e_protein(platform):
                                     f"{P_ORFS} ORFs, "
                                     f"{runs[0]['pairs']} realignments/run",
         })
+        out.update(_breakdown_fields(runs[len(runs) // 2], "protein_e2e"))
     except Exception as e:  # pragma: no cover - environment-specific
         out["protein_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     return out

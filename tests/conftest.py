@@ -32,13 +32,11 @@ TOOLS_DIR = pathlib.Path(__file__).parent / "tools"
 FIXTURES_DIR = pathlib.Path(__file__).parent / "fixtures"
 
 
-@pytest.fixture(scope="session")
-def rpa_ref_oracle():
-    """Path to the reference-code decision oracle (the reference's OWN
-    RPAPredictionModel::predict() + LCA models compiled against its
-    vendored SeqAn, with a minimal Boost shim), building it if necessary.
-    Returns None when the reference tree or toolchain is unavailable."""
-    binary = TOOLS_DIR / "rpa_ref_oracle"
+def _build_ref_tool(binary_name, main_src, extra_srcs):
+    """Compile a reference-code oracle binary against the vendored SeqAn
+    + the minimal Boost shim (tests/tools/boost_shim); returns the
+    binary path or None when the reference tree/toolchain is missing."""
+    binary = TOOLS_DIR / binary_name
     if binary.exists():
         return str(binary)
     ref = pathlib.Path("/root/reference/core")
@@ -49,11 +47,9 @@ def rpa_ref_oracle():
         "-I", str(TOOLS_DIR / "boost_shim"),
         "-I", str(ref / "includes-external"),
         "-I", str(ref),
-        str(TOOLS_DIR / "rpa_ref_oracle.cpp"),
+        main_src if os.path.isabs(main_src) else str(ref / main_src),
     ] + [
-        str(ref / "src" / f)
-        for f in ("taxontree.cpp", "taxonomyinterface.cpp", "ncbidata.cpp",
-                  "accessconv.cpp", "predictionrecord.cpp")
+        str(ref / "src" / f) for f in extra_srcs
     ] + ["-o", str(binary), "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=900)
@@ -61,6 +57,44 @@ def rpa_ref_oracle():
             subprocess.TimeoutExpired):
         return None
     return str(binary)
+
+
+@pytest.fixture(scope="session")
+def rpa_ref_oracle():
+    """The reference-code decision oracle: the reference's OWN
+    RPAPredictionModel::predict() + LCA models behind a thin harness
+    main (tests/tools/rpa_ref_oracle.cpp)."""
+    return _build_ref_tool(
+        "rpa_ref_oracle", str(TOOLS_DIR / "rpa_ref_oracle.cpp"),
+        ("taxontree.cpp", "taxonomyinterface.cpp", "ncbidata.cpp",
+         "accessconv.cpp", "predictionrecord.cpp"))
+
+
+@pytest.fixture(scope="session")
+def ref_binner():
+    """The reference's binner binary compiled VERBATIM (its own main +
+    program_options via the shim)."""
+    return _build_ref_tool(
+        "ref_binner", "binner.cpp",
+        ("taxontree.cpp", "taxonomyinterface.cpp", "ncbidata.cpp",
+         "predictionrecord.cpp", "bioboxes.cpp"))
+
+
+@pytest.fixture(scope="session")
+def ref_taxknife():
+    """The reference's taxknife binary compiled verbatim."""
+    return _build_ref_tool(
+        "ref_taxknife", "taxknife.cpp",
+        ("taxontree.cpp", "taxonomyinterface.cpp", "ncbidata.cpp"))
+
+
+@pytest.fixture(scope="session")
+def ref_alignments_filter():
+    """The reference's alignments-filter binary compiled verbatim."""
+    return _build_ref_tool(
+        "ref_alignments_filter", "alignments-filter.cpp",
+        ("taxontree.cpp", "taxonomyinterface.cpp", "ncbidata.cpp",
+         "accessconv.cpp", "alignmentrecord.cpp"))
 
 
 @pytest.fixture(scope="session")
