@@ -461,6 +461,44 @@ def test_dna_decision_log_byte_identical(rpa_ref_oracle, tmp_path,
     assert "PASS\t2" in ref_log and "+ALN" in ref_log
 
 
+STRUCTURAL_LOG_PREFIXES = (
+    "ID\t", "  NUMREF", "  RANGE", "    RANGE", "STATS", "  PASS",
+    "    NUMALN", "    NUMOUTGRP", "    EXT", "    SCORE", "    +ALN",
+    "    *ALN", "      current", "      query:")
+
+
+def test_protein_decision_log_structural_identical(rpa_ref_oracle,
+                                                   tmp_path, monkeypatch,
+                                                   capsys):
+    """Protein -l log: every STRUCTURAL line (decisions, distances,
+    passes, stats) identical to the reference's logsink.  The reference
+    additionally streams SeqAn's multi-line ASCII rendering of each
+    protein alignment into the log (logsink << queryalignment — the
+    Align object is populated only on the protein path,
+    taxonpredictionmodelsequence.hh:238); that is presentation, not
+    decisions, and taxtk intentionally omits it, so the diff is on the
+    structural subset (with STATS CPU-times normalized)."""
+    _require(rpa_ref_oracle)
+    corpus = _make_corpus(tmp_path, seed=77, n_queries=24, protein=True,
+                          tie_free=True)
+    reflog = str(tmp_path / "ref.log")
+    tklog = str(tmp_path / "tk.log")
+    expected = _run_oracle(rpa_ref_oracle, corpus,
+                           extra=["--format", "protein", "--log", reflog])
+    got = _run_taxtk(corpus, ["-b", "protein", "-l", tklog], monkeypatch,
+                     capsys)
+    assert got == expected
+
+    def structural(path):
+        return _normalize_log("\n".join(
+            l for l in open(path).read().splitlines()
+            if l.startswith(STRUCTURAL_LOG_PREFIXES)))
+
+    ref_lines = structural(reflog)
+    assert structural(tklog) == ref_lines
+    assert "+ALN" in ref_lines and "PASS\t2" in ref_lines
+
+
 def test_inmemory_revcomp_divergence_documented(rpa_ref_oracle, tmp_path,
                                                 monkeypatch, capsys):
     """Adjudicated deviation (SURVEY §7 decision, docs/COMPONENTS.md):
