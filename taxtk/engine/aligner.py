@@ -463,72 +463,83 @@ class BatchAligner:
     def _dispatch_tpu_long(self, pairs, idxs_all, results, finishers,
                            pool_cache=None):
         """Long-pattern pairs through the pattern-block-chunked pallas
-        kernel (ops/pallas_myers.py), bucketed by pow2 text length and
-        chunked to full pair tiles; falls back to the host batch on any
-        device failure."""
+        kernel (ops/pallas_myers.py): one length-sorted stream cut into
+        full pair-tile chunks (see the fill-factor note below); falls
+        back to the host batch on any device failure."""
         from ..ops.pallas_myers import batched_edit_distance_pallas_myers_long
 
-        lbuckets: Dict[int, List[int]] = {}
-        for k in idxs_all:
-            a, b = pairs[k]
-            lbuckets.setdefault(_pow2ceil(max(len(a), len(b))), []).append(k)
-        for N, idxs in lbuckets.items():
-            for off in range(0, len(idxs), 1024):
-                chunk = idxs[off : off + 1024]
-                t0 = _time.time()
-                B = len(chunk)
-                maxa = max(len(pairs[k][0]) for k in chunk)
-                maxb = max(len(pairs[k][1]) for k in chunk)
-                a_codes = np.zeros((B, maxa), np.uint8)
-                b_codes = np.zeros((B, maxb), np.uint8)
-                a_len = np.zeros(B, np.int32)
-                b_len = np.zeros(B, np.int32)
+        # ONE sorted stream instead of per-pow2-class buckets: the kernel
+        # pads every launch to a full pair tile (1024 lanes), so
+        # fragmenting long pairs across text classes ran mostly-empty
+        # tiles — measured on the config-4 surrogate (BENCH r4 run 1) the
+        # effective rate was ~15% of the kernel's.  The long entry
+        # computes K/Np from each batch's own maxima, so sorting by text
+        # length descending and cutting full 1024-pair chunks gives every
+        # launch a high fill factor AND a near-tight pow2 pad (neighbors
+        # in the sorted order have similar lengths); per-pow2 compiled
+        # variants are unchanged (the block kernel is shape-keyed by
+        # (Tc, n_chunks) only).  Small rounds (< 1 tile of long pairs)
+        # still pay the tile floor — inherent to pairs-across-lanes.
+        idxs = sorted(
+            idxs_all,
+            key=lambda k: -max(len(pairs[k][0]), len(pairs[k][1])),
+        )
+        for off in range(0, len(idxs), 1024):
+            chunk = idxs[off : off + 1024]
+            t0 = _time.time()
+            B = len(chunk)
+            maxa = max(len(pairs[k][0]) for k in chunk)
+            maxb = max(len(pairs[k][1]) for k in chunk)
+            a_codes = np.zeros((B, maxa), np.uint8)
+            b_codes = np.zeros((B, maxb), np.uint8)
+            a_len = np.zeros(B, np.int32)
+            b_len = np.zeros(B, np.int32)
+            for r, k in enumerate(chunk):
+                a, b = pairs[k]
+                a_codes[r, : len(a)] = a
+                b_codes[r, : len(b)] = b
+                a_len[r] = len(a)
+                b_len[r] = len(b)
+            self.cells_computed += int((a_len.astype(np.int64) * b_len).sum())
+            self._tick("stage_batch", t0)
+            t0 = _time.time()
+
+            def fill_long(dist, chunk=chunk, a_len=a_len, b_len=b_len):
                 for r, k in enumerate(chunk):
-                    a, b = pairs[k]
-                    a_codes[r, : len(a)] = a
-                    b_codes[r, : len(b)] = b
-                    a_len[r] = len(a)
-                    b_len[r] = len(b)
-                self.cells_computed += int((a_len.astype(np.int64) * b_len).sum())
-                self._tick("stage_batch", t0)
-                t0 = _time.time()
-
-                def fill_long(dist, chunk=chunk, a_len=a_len, b_len=b_len):
-                    for r, k in enumerate(chunk):
-                        d = int(dist[r])
-                        lendiff = abs(int(a_len[r]) - int(b_len[r]))
-                        matches = min(int(a_len[r]), int(b_len[r])) - (d - lendiff)
-                        results[k] = AlignValue(
-                            distance=f32(d), similarity=f32(matches)
-                        )
-
-                def fallback_long(chunk=chunk):
-                    from ..native import myers_batch, load
-
-                    if load() is not None:
-                        return myers_batch([pairs[k] for k in chunk])
-                    from ..ops import oracle
-
-                    return [oracle.edit_distance(*pairs[k]) for k in chunk]
-
-                try:
-                    dev, post = batched_edit_distance_pallas_myers_long(
-                        a_codes, b_codes, a_len, b_len, lazy="device",
-                        pool_cache=pool_cache, **self._pallas_kw,
+                    d = int(dist[r])
+                    lendiff = abs(int(a_len[r]) - int(b_len[r]))
+                    matches = min(int(a_len[r]), int(b_len[r])) - (d - lendiff)
+                    results[k] = AlignValue(
+                        distance=f32(d), similarity=f32(matches)
                     )
-                except Exception as e:  # pragma: no cover - device-specific
-                    self._warn_fallback(e, "host myers")
-                    fill_long(fallback_long())
-                    self._tick("device", t0)
-                    continue
-                from ..ops.myers_batch import start_host_copy
 
-                finishers.append(
-                    _DevPending(
-                        start_host_copy(dev), post, fill_long, fallback_long
-                    )
+            def fallback_long(chunk=chunk):
+                from ..native import myers_batch, load
+
+                if load() is not None:
+                    return myers_batch([pairs[k] for k in chunk])
+                from ..ops import oracle
+
+                return [oracle.edit_distance(*pairs[k]) for k in chunk]
+
+            try:
+                dev, post = batched_edit_distance_pallas_myers_long(
+                    a_codes, b_codes, a_len, b_len, lazy="device",
+                    pool_cache=pool_cache, **self._pallas_kw,
                 )
+            except Exception as e:  # pragma: no cover - device-specific
+                self._warn_fallback(e, "host myers")
+                fill_long(fallback_long())
                 self._tick("device", t0)
+                continue
+            from ..ops.myers_batch import start_host_copy
+
+            finishers.append(
+                _DevPending(
+                    start_host_copy(dev), post, fill_long, fallback_long
+                )
+            )
+            self._tick("device", t0)
 
     def _run_bucket(self, pairs, idxs, M, N, results, finishers=None,
                     pool_cache=None):
