@@ -133,6 +133,27 @@ def test_binner_consensus_groups_match_reference(rpa_ref_oracle,
     # multi-record groups actually exercised
     assert len(ref_body) < gff3.count("\n") - 1
 
+    # the combinePredictionRanges decision-table log
+    # (predictionranges.hh:204-211) matches block-for-block; blocks are
+    # keyed by query since the reference emits groups in unordered_map
+    # hash order
+    def log_blocks(path):
+        blocks, cur, key = {}, [], None
+        for line in open(path).read().splitlines():
+            if line.startswith("combining "):
+                if key:
+                    blocks[key] = cur
+                key, cur = line, [line]
+            elif key:
+                cur.append(line)
+        if key:
+            blocks[key] = cur
+        return blocks
+
+    ref_blocks = log_blocks(str(tmp_path / "r.log"))
+    tk_blocks = log_blocks(str(tmp_path / "t.log"))
+    assert ref_blocks and tk_blocks == ref_blocks
+
 
 # -------------------------------------------------------------- taxknife
 
