@@ -226,6 +226,7 @@ def run_once(paths, ranks, dna_backend=None, stats=True, protein=False,
         "engine_s": t_engine,
         "n_alignments": len(recs),
         "gff_lines": sink.getvalue().count("\n") - 1,
+        "gff3": sink.getvalue(),
         "metrics": dict(engine.metrics.stage_seconds),
         "aligner": dict(aligner.stage_seconds),
         "pairs": aligner.pairs_aligned,

@@ -74,5 +74,37 @@ def main():
     print(json.dumps(out, indent=1))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--systolic" not in sys.argv:
     main()
+
+
+def main_systolic():
+    """Systolic-vs-chunked at the small-B long shapes (run with
+    --systolic); plus a correctness cross-check per shape."""
+    from taxtk.ops import oracle
+    from taxtk.ops.pallas_myers_systolic import (
+        batched_edit_distance_systolic,
+    )
+
+    out = []
+    for B, L in ((256, 12288), (64, 25000), (16, 50000), (4, 98000)):
+        rng = np.random.RandomState(1)
+        a = rng.randint(0, 4, (B, L)).astype(np.uint8)
+        b = rng.randint(0, 4, (B, L)).astype(np.uint8)
+        al = np.full(B, L, np.int32)
+        bl = np.full(B, L, np.int32)
+        fn = lambda *args, lazy=False: batched_edit_distance_systolic(
+            *args, lazy=lazy)
+        r = time_shape(f"systolic {B}x{L}", fn, B, L, chain=2)
+        got = batched_edit_distance_systolic(a, b, al, bl)
+        exp = [oracle.edit_distance(a[i], b[i]) for i in range(min(B, 3))]
+        r["parity"] = bool(all(int(got[i]) == exp[i]
+                               for i in range(len(exp))))
+        out.append(r)
+        print(json.dumps(r))
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__" and "--systolic" in sys.argv:
+    main_systolic()
+    sys.exit(0)

@@ -116,6 +116,10 @@ class BatchAligner:
 
         self.tpu_long_pattern_cap = LONG_PATTERN_CAP
         self.tpu_long_text_cap = LONG_TEXT_CAP
+        # long chunks below this pair count route to the block-systolic
+        # kernel (lane fill = pairs x blocks); at/above it the pair-tile
+        # chunked kernel fills its 1024-lane tiles on its own
+        self.systolic_max_pairs = 512
         self.pairs_aligned = 0
         self.cells_computed = 0
         self.stage_seconds = {}  # per-phase accounting (kernel vs staging)
@@ -523,10 +527,26 @@ class BatchAligner:
                 return [oracle.edit_distance(*pairs[k]) for k in chunk]
 
             try:
-                dev, post = batched_edit_distance_pallas_myers_long(
-                    a_codes, b_codes, a_len, b_len, lazy="device",
-                    pool_cache=pool_cache, **self._pallas_kw,
-                )
+                if B < self.systolic_max_pairs:
+                    # sub-half-tile chunks: the block-SYSTOLIC kernel maps
+                    # (pair, pattern-block) slots to lanes, so lane fill
+                    # scales with pairs x blocks — measured on chip 3.6x /
+                    # 10x / 22x over the pair-tile chunked path at
+                    # 64x25k / 16x50k / 4x98k (benchmarks/
+                    # probe_long_kernel.py --systolic)
+                    from ..ops.pallas_myers_systolic import (
+                        batched_edit_distance_systolic,
+                    )
+
+                    dev, post = batched_edit_distance_systolic(
+                        a_codes, b_codes, a_len, b_len, lazy="device",
+                        interpret=self.pallas_interpret,
+                    )
+                else:
+                    dev, post = batched_edit_distance_pallas_myers_long(
+                        a_codes, b_codes, a_len, b_len, lazy="device",
+                        pool_cache=pool_cache, **self._pallas_kw,
+                    )
             except Exception as e:  # pragma: no cover - device-specific
                 self._warn_fallback(e, "host myers")
                 fill_long(fallback_long())

@@ -1,0 +1,416 @@
+"""Block-systolic Myers kernel: pattern blocks staggered across lanes.
+
+The pairs-across-lanes kernels (ops/pallas_myers.py) pad every launch to
+a full 1024-lane pair tile, so a long-pair batch with few pairs runs
+mostly-empty lanes — measured on chip: 16 pairs x 50 kbp sustains 1.6%
+of the padded rate (benchmarks/probe_long_kernel.py).  This variant
+recovers the idle lanes by assigning each lane ONE (pair, pattern-block)
+slot and running the blocks as a systolic cascade:
+
+  * lane (p, k) processes pattern block k of pair p, staggered k text
+    steps behind block 0: at step j it handles text position j-k;
+  * the Myers inter-word carries at a block boundary are exactly the
+    bits block k produces at position j and block k+1 consumes at the
+    same position — one lane-roll per step moves them (the same
+    device-resident dataflow the chunked kernel streams through HBM
+    between launches, now register-to-register);
+  * the current text char rides the same roll: the head lane (k == 0)
+    inserts pair p's char j, and k rolls later it reaches lane (p, k);
+  * every block of every pair processes in ONE kernel launch (no
+    per-block launch sequence), and lane fill scales with
+    pairs x blocks instead of pairs.
+
+Layout contract (host side, _pack_systolic): a pair's block slots are
+CONTIGUOUS WITHIN ONE SUBLANE ROW (rolls rotate each 128-lane row
+independently), pairs never straddle rows; the roll wrap from lane 127
+to lane 0 lands on a head or unused lane, where the inserted value is
+masked anyway.
+
+Exactness: identical results to the other Myers kernels — same
+recurrence, same harvest-at-n_len rule (cross-checked against the
+oracle and the native baseline in tests/test_ops_myers.py).
+
+reference: taxonpredictionmodelsequence.hh:133-171 is the semantic
+anchor (SeqAn MyersBitVector global edit distance); this dataflow has no
+reference analog.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_myers import (
+    ALPHA,
+    LANE,
+    WORD,
+    _pack_text_pool,
+    _peq_from_codes,
+    _pow2,
+)
+
+DEFAULT_KC = 64  # pattern words per block (2048 bp)
+DEFAULT_SUB = 8
+
+
+def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
+    UNROLL = 4 if Tc % 4 == 0 else 1
+
+    def kernel(
+        peq_ref,    # [KC, ALPHA, SUB, LANE] u32 — per-slot block peq
+        text_ref,   # [Tc//2, SUB, LANE] i8 — pair chars at HEAD lanes
+        head_ref,   # [SUB, LANE] i32 — 1 at each pair's block-0 lane
+        lanek_ref,  # [SUB, LANE] i32 — slot's block index k within pair
+        nlen_ref,   # [SUB, LANE] i32 — pair text length (0 = unused)
+        mword_ref,  # [SUB, LANE] i32 — pattern-end word RELATIVE to slot
+        mbit_ref,   # [SUB, LANE] i32
+        mlen_ref,   # [SUB, LANE] i32 — pattern length (score seed)
+        out_ref,    # [SUB, LANE] i32
+        pv_ref,     # scratch [KC, SUB, LANE] u32
+        mv_ref,     # scratch [KC, SUB, LANE] u32
+        cchar_ref,  # scratch [SUB, LANE] i32 — rolling char pipeline
+        ph_ref,     # scratch [SUB, LANE] i32 — rolling carry-out bits
+        mh_ref,     # scratch [SUB, LANE] i32
+        score_ref,  # scratch [SUB, LANE] i32
+        res_ref,    # scratch [SUB, LANE] i32
+        hmask_ref,  # scratch [KC, SUB, LANE] u32
+    ):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            pv_ref[:] = jnp.full((KC, SUB, LANE), 0xFFFFFFFF, jnp.uint32)
+            mv_ref[:] = jnp.zeros((KC, SUB, LANE), jnp.uint32)
+            cchar_ref[:] = jnp.zeros((SUB, LANE), jnp.int32)
+            ph_ref[:] = jnp.ones((SUB, LANE), jnp.int32)
+            mh_ref[:] = jnp.zeros((SUB, LANE), jnp.int32)
+            score_ref[:] = mlen_ref[:]
+            res_ref[:] = jnp.maximum(mlen_ref[:], nlen_ref[:])
+            kk = mword_ref[:]
+            one = jnp.full((SUB, LANE), 1, jnp.uint32)
+            bit = one << mbit_ref[:].astype(jnp.uint32)
+            for k in range(KC):
+                hmask_ref[k] = jnp.where(kk == k, bit, jnp.uint32(0))
+
+        head = head_ref[:] == 1
+        lanek = lanek_ref[:]
+        n_len = nlen_ref[:]
+        base_j = t * Tc
+
+        def one_char(jj, carry):
+            pvs, mvs, C, PH, MH, score, res = carry
+            packed = text_ref[jj >> 1].astype(jnp.int32)
+            fresh = (packed >> ((jj & 1) * 4)) & 15
+            # the systolic rolls: char and block-boundary carries move one
+            # lane per step; head lanes insert fresh char / ph=1, mh=0
+            C = jnp.where(head, fresh, pltpu.roll(C, 1, axis=1))
+            ph_in = jnp.where(head, 1, pltpu.roll(PH, 1, axis=1))
+            mh_in = jnp.where(head, 0, pltpu.roll(MH, 1, axis=1))
+            j = base_j + jj
+            jeff1 = (j + 1) - lanek  # completed text positions after char
+            enter = jeff1 == 1       # lane's first live step: fresh DP state
+            tc = C
+            carry_ph = ph_in.astype(jnp.uint32)
+            carry_mh = mh_in.astype(jnp.uint32)
+            ph_hit = jnp.zeros((SUB, LANE), jnp.uint32)
+            mh_hit = jnp.zeros((SUB, LANE), jnp.uint32)
+            new_pvs = []
+            new_mvs = []
+            for k in range(KC):
+                eq0 = peq_ref[k, 0]
+                for c in range(1, ALPHA):
+                    eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
+                eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
+                pv_k = jnp.where(enter, jnp.uint32(0xFFFFFFFF), pvs[k])
+                mv_k = jnp.where(enter, jnp.uint32(0), mvs[k])
+                eq = eq0 | carry_mh
+                xv = eq | mv_k
+                add = (eq & pv_k) + pv_k
+                xh = (add ^ pv_k) | eq
+                ph = mv_k | ~(xh | pv_k)
+                mh = pv_k & xh
+                hm = hmask_ref[k]
+                ph_hit = ph_hit | (ph & hm)
+                mh_hit = mh_hit | (mh & hm)
+                ph_shift = (ph << 1) | carry_ph
+                mh_shift = (mh << 1) | carry_mh
+                carry_ph = ph >> 31
+                carry_mh = mh >> 31
+                new_pvs.append(mh_shift | ~(xv | ph_shift))
+                new_mvs.append(ph_shift & xv)
+            delta = (ph_hit != 0).astype(jnp.int32) - (
+                mh_hit != 0
+            ).astype(jnp.int32)
+            live = (jeff1 >= 1) & (jeff1 <= n_len)
+            score = score + jnp.where(live, delta, 0)
+            res = jnp.where(jeff1 == n_len, score, res)
+            return (tuple(new_pvs), tuple(new_mvs), tc,
+                    carry_ph.astype(jnp.int32), carry_mh.astype(jnp.int32),
+                    score, res)
+
+        def stepj(jj, carry):
+            for u in range(UNROLL):
+                carry = one_char(jj * UNROLL + u, carry)
+            return carry
+
+        carry0 = (
+            tuple(pv_ref[k] for k in range(KC)),
+            tuple(mv_ref[k] for k in range(KC)),
+            cchar_ref[:],
+            ph_ref[:],
+            mh_ref[:],
+            score_ref[:],
+            res_ref[:],
+        )
+        pvs, mvs, C, PH, MH, score, res = jax.lax.fori_loop(
+            0, Tc // UNROLL, stepj, carry0
+        )
+        for k in range(KC):
+            pv_ref[k] = pvs[k]
+            mv_ref[k] = mvs[k]
+        cchar_ref[:] = C
+        ph_ref[:] = PH
+        mh_ref[:] = MH
+        score_ref[:] = score
+        res_ref[:] = res
+
+        @pl.when(t == n_chunks - 1)
+        def _emit():
+            out_ref[:] = res
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("KC", "Tc", "n_chunks", "n_tiles", "SUB", "interpret"),
+)
+def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
+                   KC, Tc, n_chunks, n_tiles, SUB, interpret=False):
+    kernel = _make_systolic_kernel(KC, Tc, n_chunks, SUB)
+    B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
+    bspec = pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=B2,
+        grid=(n_tiles, n_chunks),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((KC, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tc // 2, SUB, LANE), lambda p, t: (t, p, 0),
+                         memory_space=pltpu.VMEM),
+            bspec, bspec, bspec, bspec, bspec, bspec,
+        ],
+        out_specs=bspec,
+        scratch_shapes=[
+            pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(peq, text, head, lanek, nlen, mword, mbit, mlen)
+
+
+def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
+                   interpret=False):
+    """Assign (pair, block) slots to lanes row by row and build the
+    kernel's WIRE arrays: packed per-pair pattern/text code columns plus
+    small per-slot metadata — the lane-layout peq planes and the
+    [steps, R, LANE] text stream are materialized ON DEVICE
+    (_stage_systolic); shipping them was 100x the useful bytes.
+    Returns (inputs dict, slot map, shapes)."""
+    B = len(a_len)
+    swap = a_len > b_len
+    m_len = np.where(swap, b_len, a_len).astype(np.int32)
+    n_len = np.where(swap, a_len, b_len).astype(np.int32)
+    patterns = [
+        (a_codes[i, : a_len[i]] if not swap[i] else b_codes[i, : b_len[i]])
+        for i in range(B)
+    ]
+    texts = [
+        (b_codes[i, : b_len[i]] if not swap[i] else a_codes[i, : a_len[i]])
+        for i in range(B)
+    ]
+    nb = np.maximum(1, -(-np.maximum(m_len, 1) // (KC * WORD)))
+
+    # greedy row packing: pairs in descending nb order, first row with room
+    order = sorted(range(B), key=lambda i: -int(nb[i]))
+    rows_free: list[int] = []
+    slot_of = {}
+    for i in order:
+        need = int(nb[i])
+        if need > LANE:
+            raise ValueError("pattern exceeds systolic row capacity")
+        for r in range(len(rows_free)):
+            if rows_free[r] >= need:
+                break
+        else:
+            rows_free.append(LANE)
+            r = len(rows_free) - 1
+        slot_of[i] = (r, LANE - rows_free[r])
+        rows_free[r] -= need
+
+    n_rows = len(rows_free)
+    n_tiles = max(1, -(-n_rows // SUB))
+    R = n_tiles * SUB
+
+    # per-slot metadata, vectorized over a flat slot list
+    pair_arr = np.concatenate([np.full(int(nb[i]), i) for i in range(B)])
+    k_arr = np.concatenate([np.arange(int(nb[i])) for i in range(B)])
+    r_arr = np.array([slot_of[i][0] for i in pair_arr])
+    l_arr = np.array([slot_of[i][1] for i in pair_arr]) + k_arr
+
+    head = np.zeros((R, LANE), np.int32)
+    lanek = np.zeros((R, LANE), np.int32)
+    nlen_l = np.zeros((R, LANE), np.int32)
+    mlen_l = np.ones((R, LANE), np.int32)
+    mword = np.full((R, LANE), -1, np.int32)  # outside [0,KC): no hmask
+    mbit = np.zeros((R, LANE), np.int32)
+    # device-gather columns: pattern peq col (k*(B+1)+pair) and text col
+    peq_col = np.zeros((R, LANE), np.int32)  # default: zero column B
+    txt_col = np.full((R, LANE), B, np.int32)
+
+    kend = (np.maximum(m_len, 1) - 1) >> 5
+    lanek[r_arr, l_arr] = k_arr
+    nlen_l[r_arr, l_arr] = n_len[pair_arr]
+    mlen_l[r_arr, l_arr] = m_len[pair_arr]
+    rel = kend[pair_arr] - k_arr * KC
+    endslot = (rel >= 0) & (rel < KC)
+    mword[r_arr[endslot], l_arr[endslot]] = rel[endslot]
+    mbit[r_arr[endslot], l_arr[endslot]] = (
+        (m_len[pair_arr[endslot]] - 1) & 31
+    )
+    peq_col[r_arr, l_arr] = k_arr * (B + 1) + pair_arr
+    unused = nlen_l == 0
+    peq_col[unused] = B  # the all-pad zero column
+    is_head = k_arr == 0
+    head[r_arr[is_head], l_arr[is_head]] = 1
+    txt_col[r_arr[is_head], l_arr[is_head]] = pair_arr[is_head]
+    last_slot = {
+        i: (slot_of[i][0], slot_of[i][1] + int(nb[i]) - 1) for i in range(B)
+    }
+
+    # steps must cover every lane's window: n_len + lane_k
+    steps_needed = int((n_len + nb - 1).max(initial=0)) + 1
+    n_chunks = max(1, -(-steps_needed // Tc))
+    if not interpret:
+        n_chunks = _pow2(n_chunks)
+    Np = n_chunks * Tc
+
+    nbmax = int(nb.max(initial=1))
+    K_full = nbmax * KC
+    all_used = np.ones(B + 1, bool)
+    plen_pat = np.zeros(B + 1, np.int32)
+    plen_pat[:B] = np.minimum(m_len, K_full * WORD)
+    pat_u = _pack_text_pool(patterns, plen_pat[:B], all_used[:B],
+                            K_full * WORD, B + 1, bits=4)
+    text_u = _pack_text_pool(texts, n_len, all_used[:B], Np, B + 1, bits=4)
+
+    inputs = dict(
+        pat_u=pat_u, text_u=text_u, plen_pat=plen_pat,
+        peq_col=peq_col.reshape(-1), txt_col=txt_col.reshape(-1),
+        head=head, lanek=lanek, nlen=nlen_l, mword=mword, mbit=mbit,
+        mlen=mlen_l,
+    )
+    return inputs, last_slot, (n_tiles, n_chunks, Np, nbmax)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
+                     "SUB", "interpret"),
+)
+def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
+                    lanek, nlen, mword, mbit, mlen,
+                    KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
+                    interpret=False):
+    """Device-side staging: build peq planes from packed pattern codes
+    (_peq_from_codes, the round-2 device builder), gather (pair, block)
+    columns into the slot-lane layout, expand the text stream to head
+    lanes, then run the systolic kernel.  H2D is just the packed code
+    columns + small metadata; the big lane-layout arrays live only in
+    HBM."""
+    S = n_tiles * SUB
+    Np = n_chunks * Tc
+    peq_u = _peq_from_codes(pat_u, plen_pat, nbmax * KC, 4)  # [K, A, B+1]
+    peq_flat = (
+        peq_u.reshape(nbmax, KC, ALPHA, B1)
+        .transpose(1, 2, 0, 3)
+        .reshape(KC, ALPHA, nbmax * B1)
+    )
+    peq = jnp.take(peq_flat, peq_col, axis=2).reshape(KC, ALPHA, S, LANE)
+    text = jnp.take(
+        text_u[: Np // 2], txt_col, axis=1
+    ).reshape(Np // 2, S, LANE)
+    return _call_systolic(
+        peq, text, head, lanek, nlen, mword, mbit, mlen,
+        KC=KC, Tc=Tc, n_chunks=n_chunks, n_tiles=n_tiles, SUB=SUB,
+        interpret=interpret,
+    )
+
+
+def batched_edit_distance_systolic(
+    a_codes, b_codes, a_len, b_len,
+    text_chunk: int = 512, interpret: bool = False,
+    block_words: int = DEFAULT_KC, sub_tile: int = DEFAULT_SUB,
+    lazy: bool = False,
+):
+    """Exact batched global edit distance via the block-systolic kernel.
+    Drop-in contract of batched_edit_distance_pallas_myers_long; best in
+    the few-pairs x long-patterns regime where the pair-tile kernels run
+    mostly padding."""
+    a_codes = np.asarray(a_codes, dtype=np.uint8)
+    b_codes = np.asarray(b_codes, dtype=np.uint8)
+    a_len = np.asarray(a_len, np.int32)
+    b_len = np.asarray(b_len, np.int32)
+    B = a_codes.shape[0]
+    KC = block_words
+    SUB = sub_tile
+    Tc = max(4, text_chunk)
+    Tc += (-Tc) % 4
+
+    inputs, last_slot, (n_tiles, n_chunks, Np, nbmax) = _pack_systolic(
+        a_codes, b_codes, a_len, b_len, KC, SUB, Tc, interpret)
+
+    dev = _stage_and_call(
+        jnp.asarray(inputs["pat_u"]), jnp.asarray(inputs["text_u"]),
+        jnp.asarray(inputs["plen_pat"]), jnp.asarray(inputs["peq_col"]),
+        jnp.asarray(inputs["txt_col"]), jnp.asarray(inputs["head"]),
+        jnp.asarray(inputs["lanek"]), jnp.asarray(inputs["nlen"]),
+        jnp.asarray(inputs["mword"]), jnp.asarray(inputs["mbit"]),
+        jnp.asarray(inputs["mlen"]),
+        KC=KC, nbmax=nbmax, B1=B + 1, Tc=Tc, n_chunks=n_chunks,
+        n_tiles=n_tiles, SUB=SUB, interpret=interpret,
+    )
+
+    def post(host_res):
+        res = np.asarray(host_res)
+        out = np.zeros(B, np.int32)
+        for i in range(B):
+            r, l = last_slot[i]
+            out[i] = res[r, l]
+        return out
+
+    if lazy == "device":
+        return dev, post
+    if lazy:
+        from .myers_batch import start_host_copy
+
+        pend = start_host_copy(dev)  # async D2H kick, returns the array
+        return lambda: post(np.asarray(pend))
+    return post(np.asarray(dev))

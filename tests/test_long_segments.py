@@ -60,17 +60,25 @@ def test_tpu_long_routing_results_match_oracle(monkeypatch):
         )
 
     import taxtk.ops.pallas_myers as pm
+    import taxtk.ops.pallas_myers_systolic as pms
 
     monkeypatch.setattr(
         pm, "batched_edit_distance_pallas_myers_long", interp_long
     )
+    real_systolic = pms.batched_edit_distance_systolic
+
+    def interp_systolic(a, b, al, bl, **kw):
+        kw.pop("interpret", None)
+        return real_systolic(
+            a, b, al, bl, block_words=2, sub_tile=2, text_chunk=64,
+            interpret=True, lazy=kw.get("lazy", False),
+        )
+
+    monkeypatch.setattr(
+        pms, "batched_edit_distance_systolic", interp_systolic
+    )
 
     rng = np.random.default_rng(3)
-    al = BatchAligner(mode="dna", dna_backend="myers-pallas")
-    al.long_pattern_threshold = 500  # force long routing at test sizes
-    al.tpu_long_pattern_cap = 2000
-    al.tpu_long_text_cap = 4000
-
     pairs = []
     for m, n in [(600, 700), (900, 650), (1200, 1300), (80, 90), (2500, 900)]:
         pairs.append(
@@ -80,8 +88,16 @@ def test_tpu_long_routing_results_match_oracle(monkeypatch):
             )
         )
     # (2500, 900): pattern 900 <= cap but min=900 > threshold -> tpu_long;
-    # (80, 90) -> normal bucket path
-    got = al.align_pairs(pairs)
-    for (a, b), v in zip(pairs, got):
-        want = oracle.edit_distance(a, b)
-        assert int(v.distance) == want
+    # (80, 90) -> normal bucket path.  Run both long routes: the
+    # block-systolic kernel (chunks below systolic_max_pairs) and the
+    # pair-tile chunked kernel (systolic_max_pairs = 0 forces it).
+    for systolic_max in (512, 0):
+        al = BatchAligner(mode="dna", dna_backend="myers-pallas")
+        al.long_pattern_threshold = 500  # force long routing at test sizes
+        al.tpu_long_pattern_cap = 2000
+        al.tpu_long_text_cap = 4000
+        al.systolic_max_pairs = systolic_max
+        got = al.align_pairs(pairs)
+        for (a, b), v in zip(pairs, got):
+            want = oracle.edit_distance(a, b)
+            assert int(v.distance) == want, systolic_max

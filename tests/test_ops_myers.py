@@ -244,3 +244,63 @@ def test_pallas_myers_text_bits_routing():
         rows, plen, ia, ib, _keys = pm._dedupe_pool(ac, bc, al, bl)
         bits = 2 if all(int(r.max(initial=0)) < 4 for r in rows) else 4
         assert bits == want_bits
+
+
+def test_systolic_matches_oracle_interpret():
+    """Block-systolic kernel (ops/pallas_myers_systolic.py): exact
+    parity with the oracle across block counts, mixed lengths, swapped
+    sides, multi-row packing, and N-bearing sequences."""
+    from taxtk.ops import oracle
+    from taxtk.ops.pallas_myers_systolic import (
+        batched_edit_distance_systolic,
+    )
+
+    rng = np.random.RandomState(11)
+    B = 11
+    la = rng.randint(20, 300, B)
+    lb = rng.randint(20, 300, B)
+    ac = np.zeros((B, la.max()), np.uint8)
+    bc = np.zeros((B, lb.max()), np.uint8)
+    for i in range(B):
+        ac[i, : la[i]] = rng.randint(0, 5, la[i])  # incl. N (code 4)
+        bc[i, : lb[i]] = rng.randint(0, 5, lb[i])
+    al = la.astype(np.int32)
+    bl = lb.astype(np.int32)
+    exp = np.array(
+        [oracle.edit_distance(ac[i, : al[i]], bc[i, : bl[i]])
+         for i in range(B)]
+    )
+    for KC in (1, 2, 4):
+        got = batched_edit_distance_systolic(
+            ac, bc, al, bl, block_words=KC, sub_tile=2, text_chunk=64,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(got, exp, err_msg=f"KC={KC}")
+    # lazy contract
+    fin = batched_edit_distance_systolic(
+        ac, bc, al, bl, block_words=2, sub_tile=2, text_chunk=64,
+        interpret=True, lazy=True,
+    )
+    np.testing.assert_array_equal(fin(), exp)
+
+
+def test_systolic_single_and_short_text():
+    """Degenerate shapes: one pair, texts shorter than the block ramp
+    (the stagger must still harvest at n_len), and pattern exactly on a
+    block boundary."""
+    from taxtk.ops import oracle
+    from taxtk.ops.pallas_myers_systolic import (
+        batched_edit_distance_systolic,
+    )
+
+    rng = np.random.RandomState(3)
+    cases = [(64, 5), (64, 64), (33, 200), (96, 7)]
+    for m, n in cases:
+        a = rng.randint(0, 4, (1, m)).astype(np.uint8)
+        b = rng.randint(0, 4, (1, n)).astype(np.uint8)
+        got = batched_edit_distance_systolic(
+            a, b, np.array([m], np.int32), np.array([n], np.int32),
+            block_words=1, sub_tile=1, text_chunk=16, interpret=True,
+        )
+        exp = oracle.edit_distance(a[0], b[0])
+        assert got[0] == exp, (m, n, got[0], exp)
