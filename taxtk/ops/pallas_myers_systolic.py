@@ -285,6 +285,7 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
     peq_col = np.zeros((R, LANE), np.int32)  # default: zero column B
     txt_col = np.full((R, LANE), B, np.int32)
 
+    B1 = _pow2(B + 1)  # pow2 pool-column count (bounded jit statics)
     kend = (np.maximum(m_len, 1) - 1) >> 5
     lanek[r_arr, l_arr] = k_arr
     nlen_l[r_arr, l_arr] = n_len[pair_arr]
@@ -295,9 +296,9 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
     mbit[r_arr[endslot], l_arr[endslot]] = (
         (m_len[pair_arr[endslot]] - 1) & 31
     )
-    peq_col[r_arr, l_arr] = k_arr * (B + 1) + pair_arr
+    peq_col[r_arr, l_arr] = k_arr * B1 + pair_arr
     unused = nlen_l == 0
-    peq_col[unused] = B  # the all-pad zero column
+    peq_col[unused] = B  # an all-pad zero column (plen 0)
     is_head = k_arr == 0
     head[r_arr[is_head], l_arr[is_head]] = 1
     txt_col[r_arr[is_head], l_arr[is_head]] = pair_arr[is_head]
@@ -312,14 +313,17 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
         n_chunks = _pow2(n_chunks)
     Np = n_chunks * Tc
 
-    nbmax = int(nb.max(initial=1))
+    # pow2-quantize the jit static dims (pool column count, block count)
+    # so the compiled-stage ladder stays bounded across ragged rounds;
+    # pad columns are all-0xFF with plen 0 (zero peq planes)
+    nbmax = _pow2(int(nb.max(initial=1)))
     K_full = nbmax * KC
-    all_used = np.ones(B + 1, bool)
-    plen_pat = np.zeros(B + 1, np.int32)
+    all_used = np.ones(B, bool)
+    plen_pat = np.zeros(B1, np.int32)
     plen_pat[:B] = np.minimum(m_len, K_full * WORD)
-    pat_u = _pack_text_pool(patterns, plen_pat[:B], all_used[:B],
-                            K_full * WORD, B + 1, bits=4)
-    text_u = _pack_text_pool(texts, n_len, all_used[:B], Np, B + 1, bits=4)
+    pat_u = _pack_text_pool(patterns, plen_pat[:B], all_used,
+                            K_full * WORD, B1, bits=4)
+    text_u = _pack_text_pool(texts, n_len, all_used, Np, B1, bits=4)
 
     inputs = dict(
         pat_u=pat_u, text_u=text_u, plen_pat=plen_pat,
@@ -394,7 +398,7 @@ def batched_edit_distance_systolic(
         jnp.asarray(inputs["lanek"]), jnp.asarray(inputs["nlen"]),
         jnp.asarray(inputs["mword"]), jnp.asarray(inputs["mbit"]),
         jnp.asarray(inputs["mlen"]),
-        KC=KC, nbmax=nbmax, B1=B + 1, Tc=Tc, n_chunks=n_chunks,
+        KC=KC, nbmax=nbmax, B1=_pow2(B + 1), Tc=Tc, n_chunks=n_chunks,
         n_tiles=n_tiles, SUB=SUB, interpret=interpret,
     )
 
