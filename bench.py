@@ -465,24 +465,51 @@ def _bench_protein_kernel(platform):
     try:
         if platform == "cpu":
             from taxtk.ops.protein_align import batched_protein_align as run
+
+            res = run(a, b, al, bl)  # warm-up + correctness harvest
+            CHAIN = 2
+            gc = []
+            for _ in range(3):
+                t0 = _t.time()
+                fins = [run(a, b, al, bl, lazy=True) for _ in range(CHAIN)]
+                for f in fins:
+                    f()
+                gc.append(CHAIN * Bp * Mp * Np / (_t.time() - t0) / 1e9)
         else:
+            # device-staged chained one-sync — the SAME protocol as the
+            # DNA kernel metric: per-call host pack + H2D + readback
+            # through the tunnel costs ~100+ ms, which capped the naive
+            # protocol at ~1-3 GCUPS regardless of the kernel (measured,
+            # BENCH r4 runs 1-2); stage the wire arrays on device once,
+            # chain launches, one readback wave per rep
+            import jax.numpy as jnp
+
+            from taxtk.ops import pallas_protein as pp
             from taxtk.ops.pallas_protein import (
                 batched_protein_align_pallas as run,
             )
-        res = run(a, b, al, bl)  # warm-up + correctness harvest
-        # chained one-sync protocol (the kernel bench's): a per-call sync
-        # through the tunnel costs 30-50 ms — at 33.5M cells/launch that
-        # alone caps the naive protocol at ~1 GCUPS regardless of the
-        # kernel (measured: BENCH r4 run 1); dispatch CHAIN lazy
-        # launches, then finish them all behind one wave of readbacks
-        CHAIN = 8
-        gc = []
-        for _ in range(5):
-            t0 = _t.time()
-            fins = [run(a, b, al, bl, lazy=True) for _ in range(CHAIN)]
-            for f in fins:
-                f()
-            gc.append(CHAIN * Bp * Mp * Np / (_t.time() - t0) / 1e9)
+
+            res = run(a, b, al, bl)  # warm-up + correctness harvest
+            Mp2, steps_end, fwd_w, n_tiles = pp._shapes(Bp, Mp, Np, 256)
+            Bpad = n_tiles * 256
+            acode = np.full((Bpad, Mp2), 255, np.uint8)
+            acode[:Bp, :Mp] = a
+            fwd = np.full((Bpad, fwd_w), 255, np.uint8)
+            fwd[:Bp, :Np] = b
+            ablen = np.ones(Bpad, np.int32)
+            ablen[:Bp] = al + bl
+            alen_p = np.zeros(Bpad, np.int32)
+            alen_p[:Bp] = al
+            d_args = [jnp.asarray(x) for x in (acode, fwd, ablen, alen_p)]
+            statics = (256, Mp2, steps_end, fwd_w, n_tiles)
+            _ = float(jnp.asarray(pp._call(*d_args, *statics)).sum())
+            CHAIN = 8
+            gc = []
+            for _ in range(5):
+                t0 = _t.time()
+                outs = [pp._call(*d_args, *statics) for _ in range(CHAIN)]
+                _chk = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+                gc.append(CHAIN * Bp * Mp * Np / (_t.time() - t0) / 1e9)
         gc.sort()
         out["protein_kernel_gcups"] = round(gc[len(gc) // 2], 2)
 

@@ -541,6 +541,7 @@ class BatchAligner:
                     dev, post = batched_edit_distance_systolic(
                         a_codes, b_codes, a_len, b_len, lazy="device",
                         interpret=self.pallas_interpret,
+                        pool_cache=pool_cache,
                     )
                 else:
                     dev, post = batched_edit_distance_pallas_myers_long(

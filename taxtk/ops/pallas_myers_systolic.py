@@ -59,14 +59,24 @@ DEFAULT_KC = 64  # pattern words per block (2048 bp)
 DEFAULT_SUB = 8
 
 
+STAG = 4  # inter-block stagger in text steps (== UNROLL, see below)
+
+
 def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
-    UNROLL = 4 if Tc % 4 == 0 else 1
+    # UNROLL == STAG: block k runs STAG text steps behind block k-1, so
+    # the carries a char consumes were produced STAG chars earlier — all
+    # chars within one unrolled trip read LAST trip's FIFO slots and are
+    # mutually independent, restoring the DNA kernels' carry-chain
+    # interleaving (a stagger of 1 chained every char through the roll:
+    # measured ~600 GCUPS padded vs the chunked kernel's ~3.6T).
+    assert Tc % STAG == 0
+    UNROLL = STAG
 
     def kernel(
         peq_ref,    # [KC, ALPHA, SUB, LANE] u32 — per-slot block peq
         text_ref,   # [Tc//2, SUB, LANE] i8 — pair chars at HEAD lanes
         head_ref,   # [SUB, LANE] i32 — 1 at each pair's block-0 lane
-        lanek_ref,  # [SUB, LANE] i32 — slot's block index k within pair
+        lanek_ref,  # [SUB, LANE] i32 — STAG * block-index of the slot
         nlen_ref,   # [SUB, LANE] i32 — pair text length (0 = unused)
         mword_ref,  # [SUB, LANE] i32 — pattern-end word RELATIVE to slot
         mbit_ref,   # [SUB, LANE] i32
@@ -74,9 +84,7 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
         out_ref,    # [SUB, LANE] i32
         pv_ref,     # scratch [KC, SUB, LANE] u32
         mv_ref,     # scratch [KC, SUB, LANE] u32
-        cchar_ref,  # scratch [SUB, LANE] i32 — rolling char pipeline
-        ph_ref,     # scratch [SUB, LANE] i32 — rolling carry-out bits
-        mh_ref,     # scratch [SUB, LANE] i32
+        fifo_ref,   # scratch [3 * STAG, SUB, LANE] i32 — (C, PH, MH) FIFO
         score_ref,  # scratch [SUB, LANE] i32
         res_ref,    # scratch [SUB, LANE] i32
         hmask_ref,  # scratch [KC, SUB, LANE] u32
@@ -87,9 +95,7 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
         def _init():
             pv_ref[:] = jnp.full((KC, SUB, LANE), 0xFFFFFFFF, jnp.uint32)
             mv_ref[:] = jnp.zeros((KC, SUB, LANE), jnp.uint32)
-            cchar_ref[:] = jnp.zeros((SUB, LANE), jnp.int32)
-            ph_ref[:] = jnp.ones((SUB, LANE), jnp.int32)
-            mh_ref[:] = jnp.zeros((SUB, LANE), jnp.int32)
+            fifo_ref[:] = jnp.zeros((3 * STAG, SUB, LANE), jnp.int32)
             score_ref[:] = mlen_ref[:]
             res_ref[:] = jnp.maximum(mlen_ref[:], nlen_ref[:])
             kk = mword_ref[:]
@@ -99,19 +105,20 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
                 hmask_ref[k] = jnp.where(kk == k, bit, jnp.uint32(0))
 
         head = head_ref[:] == 1
-        lanek = lanek_ref[:]
+        lanek = lanek_ref[:]  # pre-scaled: STAG * block index
         n_len = nlen_ref[:]
         base_j = t * Tc
 
-        def one_char(jj, carry):
-            pvs, mvs, C, PH, MH, score, res = carry
+        def one_char(jj, u, pvs, mvs, fifo, score, res):
+            # fifo[u] = (C, PH, MH) produced STAG chars ago — all UNROLL
+            # chars of a trip consume the PREVIOUS trip's slots, so their
+            # carry chains are independent and interleave
+            C_old, PH_old, MH_old = fifo[u]
             packed = text_ref[jj >> 1].astype(jnp.int32)
             fresh = (packed >> ((jj & 1) * 4)) & 15
-            # the systolic rolls: char and block-boundary carries move one
-            # lane per step; head lanes insert fresh char / ph=1, mh=0
-            C = jnp.where(head, fresh, pltpu.roll(C, 1, axis=1))
-            ph_in = jnp.where(head, 1, pltpu.roll(PH, 1, axis=1))
-            mh_in = jnp.where(head, 0, pltpu.roll(MH, 1, axis=1))
+            C = jnp.where(head, fresh, pltpu.roll(C_old, 1, axis=1))
+            ph_in = jnp.where(head, 1, pltpu.roll(PH_old, 1, axis=1))
+            mh_in = jnp.where(head, 0, pltpu.roll(MH_old, 1, axis=1))
             j = base_j + jj
             jeff1 = (j + 1) - lanek  # completed text positions after char
             enter = jeff1 == 1       # lane's first live step: fresh DP state
@@ -150,33 +157,40 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
             live = (jeff1 >= 1) & (jeff1 <= n_len)
             score = score + jnp.where(live, delta, 0)
             res = jnp.where(jeff1 == n_len, score, res)
-            return (tuple(new_pvs), tuple(new_mvs), tc,
-                    carry_ph.astype(jnp.int32), carry_mh.astype(jnp.int32),
-                    score, res)
+            slot = (tc, carry_ph.astype(jnp.int32),
+                    carry_mh.astype(jnp.int32))
+            return tuple(new_pvs), tuple(new_mvs), slot, score, res
 
         def stepj(jj, carry):
+            pvs, mvs, fifo, score, res = carry
+            new_fifo = list(fifo)
             for u in range(UNROLL):
-                carry = one_char(jj * UNROLL + u, carry)
-            return carry
+                pvs, mvs, slot, score, res = one_char(
+                    jj * UNROLL + u, u, pvs, mvs, fifo, score, res
+                )
+                new_fifo[u] = slot
+            return (pvs, mvs, tuple(new_fifo), score, res)
 
         carry0 = (
             tuple(pv_ref[k] for k in range(KC)),
             tuple(mv_ref[k] for k in range(KC)),
-            cchar_ref[:],
-            ph_ref[:],
-            mh_ref[:],
+            tuple(
+                (fifo_ref[3 * u], fifo_ref[3 * u + 1], fifo_ref[3 * u + 2])
+                for u in range(STAG)
+            ),
             score_ref[:],
             res_ref[:],
         )
-        pvs, mvs, C, PH, MH, score, res = jax.lax.fori_loop(
+        pvs, mvs, fifo, score, res = jax.lax.fori_loop(
             0, Tc // UNROLL, stepj, carry0
         )
         for k in range(KC):
             pv_ref[k] = pvs[k]
             mv_ref[k] = mvs[k]
-        cchar_ref[:] = C
-        ph_ref[:] = PH
-        mh_ref[:] = MH
+        for u in range(STAG):
+            fifo_ref[3 * u] = fifo[u][0]
+            fifo_ref[3 * u + 1] = fifo[u][1]
+            fifo_ref[3 * u + 2] = fifo[u][2]
         score_ref[:] = score
         res_ref[:] = res
 
@@ -213,9 +227,7 @@ def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
         scratch_shapes=[
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
-            pltpu.VMEM((SUB, LANE), jnp.int32),
-            pltpu.VMEM((SUB, LANE), jnp.int32),
-            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((3 * STAG, SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
@@ -227,7 +239,7 @@ def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
 
 
 def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
-                   interpret=False):
+                   interpret=False, build_pools=True):
     """Assign (pair, block) slots to lanes row by row and build the
     kernel's WIRE arrays: packed per-pair pattern/text code columns plus
     small per-slot metadata — the lane-layout peq planes and the
@@ -287,7 +299,7 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
 
     B1 = _pow2(B + 1)  # pow2 pool-column count (bounded jit statics)
     kend = (np.maximum(m_len, 1) - 1) >> 5
-    lanek[r_arr, l_arr] = k_arr
+    lanek[r_arr, l_arr] = STAG * k_arr  # pre-scaled block stagger
     nlen_l[r_arr, l_arr] = n_len[pair_arr]
     mlen_l[r_arr, l_arr] = m_len[pair_arr]
     rel = kend[pair_arr] - k_arr * KC
@@ -306,8 +318,8 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
         i: (slot_of[i][0], slot_of[i][1] + int(nb[i]) - 1) for i in range(B)
     }
 
-    # steps must cover every lane's window: n_len + lane_k
-    steps_needed = int((n_len + nb - 1).max(initial=0)) + 1
+    # steps must cover every lane's window: n_len + STAG * (nb - 1)
+    steps_needed = int((n_len + STAG * (nb - 1)).max(initial=0)) + 1
     n_chunks = max(1, -(-steps_needed // Tc))
     if not interpret:
         n_chunks = _pow2(n_chunks)
@@ -318,12 +330,14 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
     # pad columns are all-0xFF with plen 0 (zero peq planes)
     nbmax = _pow2(int(nb.max(initial=1)))
     K_full = nbmax * KC
-    all_used = np.ones(B, bool)
     plen_pat = np.zeros(B1, np.int32)
     plen_pat[:B] = np.minimum(m_len, K_full * WORD)
-    pat_u = _pack_text_pool(patterns, plen_pat[:B], all_used,
-                            K_full * WORD, B1, bits=4)
-    text_u = _pack_text_pool(texts, n_len, all_used, Np, B1, bits=4)
+    pat_u = text_u = None
+    if build_pools:  # the pool-cache front end gathers from the
+        all_used = np.ones(B, bool)  # device-resident pool instead
+        pat_u = _pack_text_pool(patterns, plen_pat[:B], all_used,
+                                K_full * WORD, B1, bits=4)
+        text_u = _pack_text_pool(texts, n_len, all_used, Np, B1, bits=4)
 
     inputs = dict(
         pat_u=pat_u, text_u=text_u, plen_pat=plen_pat,
@@ -334,15 +348,9 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
     return inputs, last_slot, (n_tiles, n_chunks, Np, nbmax)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
-                     "SUB", "interpret"),
-)
-def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
-                    lanek, nlen, mword, mbit, mlen,
-                    KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                    interpret=False):
+def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
+                lanek, nlen, mword, mbit, mlen,
+                KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret):
     """Device-side staging: build peq planes from packed pattern codes
     (_peq_from_codes, the round-2 device builder), gather (pair, block)
     columns into the slot-lane layout, expand the text stream to head
@@ -351,7 +359,7 @@ def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
     HBM."""
     S = n_tiles * SUB
     Np = n_chunks * Tc
-    peq_u = _peq_from_codes(pat_u, plen_pat, nbmax * KC, 4)  # [K, A, B+1]
+    peq_u = _peq_from_codes(pat_u, plen_pat, nbmax * KC, 4)  # [K, A, B1]
     peq_flat = (
         peq_u.reshape(nbmax, KC, ALPHA, B1)
         .transpose(1, 2, 0, 3)
@@ -368,16 +376,53 @@ def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
+                     "SUB", "interpret"),
+)
+def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
+                    lanek, nlen, mword, mbit, mlen,
+                    KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
+                    interpret=False):
+    return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
+                       lanek, nlen, mword, mbit, mlen,
+                       KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
+                     "SUB", "interpret"),
+)
+def _stage_and_call_pool(pool, pat_cols, txt_cols, plen_pat, peq_col,
+                         txt_col, head, lanek, nlen, mword, mbit, mlen,
+                         KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
+                         interpret=False):
+    """Pool front end: per-pair pattern/text code columns gathered from
+    the CROSS-ROUND device-resident pool (ops/seqpool.py) — the round's
+    H2D is just the rows not yet on device (pass-1/2 re-alignments are
+    ~all hits), exactly the classic long path's residency model."""
+    Np = n_chunks * Tc
+    pat_u = jnp.take(pool[: nbmax * KC * WORD // 2], pat_cols, axis=1)
+    text_u = jnp.take(pool[: Np // 2], txt_cols, axis=1)
+    return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
+                       lanek, nlen, mword, mbit, mlen,
+                       KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret)
+
+
 def batched_edit_distance_systolic(
     a_codes, b_codes, a_len, b_len,
     text_chunk: int = 512, interpret: bool = False,
     block_words: int = DEFAULT_KC, sub_tile: int = DEFAULT_SUB,
-    lazy: bool = False,
+    lazy: bool = False, pool_cache=None,
 ):
     """Exact batched global edit distance via the block-systolic kernel.
     Drop-in contract of batched_edit_distance_pallas_myers_long; best in
     the few-pairs x long-patterns regime where the pair-tile kernels run
-    mostly padding."""
+    mostly padding.  pool_cache: ops.seqpool.DevicePoolCache — sequence
+    rows stay device-resident across align rounds (bits=4); only rows
+    not yet on device ship."""
     a_codes = np.asarray(a_codes, dtype=np.uint8)
     b_codes = np.asarray(b_codes, dtype=np.uint8)
     a_len = np.asarray(a_len, np.int32)
@@ -389,18 +434,45 @@ def batched_edit_distance_systolic(
     Tc += (-Tc) % 4
 
     inputs, last_slot, (n_tiles, n_chunks, Np, nbmax) = _pack_systolic(
-        a_codes, b_codes, a_len, b_len, KC, SUB, Tc, interpret)
-
-    dev = _stage_and_call(
-        jnp.asarray(inputs["pat_u"]), jnp.asarray(inputs["text_u"]),
+        a_codes, b_codes, a_len, b_len, KC, SUB, Tc, interpret,
+        build_pools=pool_cache is None)
+    B1 = _pow2(B + 1)
+    meta = (
         jnp.asarray(inputs["plen_pat"]), jnp.asarray(inputs["peq_col"]),
         jnp.asarray(inputs["txt_col"]), jnp.asarray(inputs["head"]),
         jnp.asarray(inputs["lanek"]), jnp.asarray(inputs["nlen"]),
         jnp.asarray(inputs["mword"]), jnp.asarray(inputs["mbit"]),
         jnp.asarray(inputs["mlen"]),
-        KC=KC, nbmax=nbmax, B1=_pow2(B + 1), Tc=Tc, n_chunks=n_chunks,
+    )
+    statics = dict(
+        KC=KC, nbmax=nbmax, B1=B1, Tc=Tc, n_chunks=n_chunks,
         n_tiles=n_tiles, SUB=SUB, interpret=interpret,
     )
+    if pool_cache is not None:
+        from .pallas_myers import _dedupe_pool
+        from .seqpool import DevicePoolCache
+
+        rows, plen, idx_a, idx_b, keys = _dedupe_pool(
+            a_codes, b_codes, a_len, b_len)
+        swap = a_len > b_len
+        pat_entry = np.where(swap, idx_b, idx_a)
+        txt_entry = np.where(swap, idx_a, idx_b)
+        Hc = max(DevicePoolCache.height_class(Np),
+                 _pow2(nbmax * KC * WORD))
+        pool_dev, slots = pool_cache.ensure(4, Hc, keys, rows, plen)
+        pat_cols = np.zeros(B1, np.int32)
+        pat_cols[:B] = slots[pat_entry]
+        txt_cols = np.zeros(B1, np.int32)
+        txt_cols[:B] = slots[txt_entry]
+        dev = _stage_and_call_pool(
+            pool_dev, jnp.asarray(pat_cols), jnp.asarray(txt_cols),
+            *meta, **statics,
+        )
+    else:
+        dev = _stage_and_call(
+            jnp.asarray(inputs["pat_u"]), jnp.asarray(inputs["text_u"]),
+            *meta, **statics,
+        )
 
     def post(host_res):
         res = np.asarray(host_res)

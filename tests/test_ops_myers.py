@@ -304,3 +304,37 @@ def test_systolic_single_and_short_text():
         )
         exp = oracle.edit_distance(a[0], b[0])
         assert got[0] == exp, (m, n, got[0], exp)
+
+
+def test_systolic_pool_cache_parity_and_residency():
+    """Systolic pool front end: parity with the host-pool path and full
+    row residency on the second round (pass-1/2 re-alignments ship
+    nothing)."""
+    from taxtk.ops import oracle
+    from taxtk.ops.pallas_myers_systolic import (
+        batched_edit_distance_systolic,
+    )
+    from taxtk.ops.seqpool import DevicePoolCache
+
+    rng = np.random.RandomState(5)
+    B = 7
+    la = rng.randint(20, 280, B)
+    lb = rng.randint(20, 280, B)
+    ac = np.zeros((B, la.max()), np.uint8)
+    bc = np.zeros((B, lb.max()), np.uint8)
+    for i in range(B):
+        ac[i, : la[i]] = rng.randint(0, 5, la[i])
+        bc[i, : lb[i]] = rng.randint(0, 5, lb[i])
+    al, bl = la.astype(np.int32), lb.astype(np.int32)
+    exp = np.array(
+        [oracle.edit_distance(ac[i, : al[i]], bc[i, : bl[i]])
+         for i in range(B)]
+    )
+    cache = DevicePoolCache()
+    for _ in range(2):
+        got = batched_edit_distance_systolic(
+            ac, bc, al, bl, block_words=2, sub_tile=2, text_chunk=64,
+            interpret=True, pool_cache=cache,
+        )
+        np.testing.assert_array_equal(got, exp)
+    assert cache.hits > 0 and cache.hits == cache.misses  # round 2 all hit
