@@ -363,8 +363,9 @@ def _breakdown_fields(med_run, prefix):
     }
 
 
-def _summarize_e2e(runs, prefix):
-    """Median/best/spread + the median run's stage breakdown."""
+def _summarize_e2e(runs, prefix, unit="mbp"):
+    """Median/best/spread + the median run's stage breakdown; unit
+    names the per-hour field (mbp for DNA, maa for protein)."""
     key = lambda r: r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0)
     runs = sorted(runs, key=key)
     mbph = [key(r) for r in runs]
@@ -372,8 +373,8 @@ def _summarize_e2e(runs, prefix):
     med = mbph[len(mbph) // 2]
     spread = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
     out = {
-        f"{prefix}_mbp_per_hour": round(med, 1),
-        f"{prefix}_best_mbp_per_hour": round(mbph[-1], 1),
+        f"{prefix}_{unit}_per_hour": round(med, 1),
+        f"{prefix}_best_{unit}_per_hour": round(mbph[-1], 1),
         f"{prefix}_spread_pct": round(spread, 1),
     }
     out.update(_breakdown_fields(med_run, prefix))
@@ -516,11 +517,19 @@ def _bench_protein_kernel(platform):
         from taxtk.native import load, protein_nw_batch
 
         if load() is not None:
+            # same discipline as every other metric here: warm-up call,
+            # then median of reps (a single ~4 ms shot swung the ratio
+            # by tens of percent with scheduler jitter)
             n = 64
             pairs = [(a[i], b[i]) for i in range(n)]
-            t0 = _t.time()
-            cpu = protein_nw_batch(pairs, n_threads=1)
-            cpu_gcups = n * Mp * Np / (_t.time() - t0) / 1e9
+            cpu = protein_nw_batch(pairs, n_threads=1)  # warm-up
+            cpu_t = []
+            for _ in range(3):
+                t0 = _t.time()
+                protein_nw_batch(pairs, n_threads=1)
+                cpu_t.append(_t.time() - t0)
+            cpu_t.sort()
+            cpu_gcups = n * Mp * Np / cpu_t[len(cpu_t) // 2] / 1e9
             out["protein_vs_baseline"] = round(
                 out["protein_kernel_gcups"] / cpu_gcups, 2)
             assert (np.asarray(res["mutual"][:n], np.int32) == cpu).all(), \
@@ -556,20 +565,11 @@ def _bench_e2e_protein(platform):
                 lambda: bench_e2e.run_once(
                     paths, ranks, protein=True, protein_backend=backend),
                 P_REPS)
-        key = lambda r: r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0)
-        runs = sorted(runs, key=key)
-        maah = [key(r) for r in runs]
-        med = maah[len(maah) // 2]
-        iqr = 100.0 * (maah[-1] - maah[0]) / med if med else 0.0
-        out.update({
-            "protein_e2e_maa_per_hour": round(med, 1),
-            "protein_e2e_best_maa_per_hour": round(maah[-1], 1),
-            "protein_e2e_spread_pct": round(iqr, 1),
-            "protein_e2e_protocol": f"median of {P_REPS} warm engine runs, "
-                                    f"{P_ORFS} ORFs, "
-                                    f"{runs[0]['pairs']} realignments/run",
-        })
-        out.update(_breakdown_fields(runs[len(runs) // 2], "protein_e2e"))
+        out.update(_summarize_e2e(runs, "protein_e2e", unit="maa"))
+        out["protein_e2e_protocol"] = (
+            f"median of {P_REPS} warm engine runs, {P_ORFS} ORFs, "
+            f"{runs[0]['pairs']} realignments/run"
+        )
     except Exception as e:  # pragma: no cover - environment-specific
         out["protein_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     return out

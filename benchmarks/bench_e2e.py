@@ -184,7 +184,7 @@ def make_workload_protein(outdir: str, n_orfs: int, seed: int = 7,
 
 
 def run_once(paths, ranks, dna_backend=None, stats=True, protein=False,
-             protein_backend=None):
+             protein_backend=None, keep_gff=False):
     from taxtk.engine.aligner import BatchAligner
     from taxtk.engine.executor import RpaEngine
     from taxtk.engine.recordsets import iter_record_sets
@@ -226,7 +226,9 @@ def run_once(paths, ranks, dna_backend=None, stats=True, protein=False,
         "engine_s": t_engine,
         "n_alignments": len(recs),
         "gff_lines": sink.getvalue().count("\n") - 1,
-        "gff3": sink.getvalue(),
+        # full text only on request: timed bench reps would otherwise
+        # keep every run's GFF3 alive for the whole benchmark
+        "gff3": sink.getvalue() if keep_gff else None,
         "metrics": dict(engine.metrics.stage_seconds),
         "aligner": dict(aligner.stage_seconds),
         "pairs": aligner.pairs_aligned,

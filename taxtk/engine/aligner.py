@@ -438,8 +438,9 @@ class BatchAligner:
                 if v is None or loads[r] <= cap:
                     continue
                 excess = loads[r] - cap
-                # take from the tail of the larger slot first (keeps the
-                # head — oldest, most likely pool-resident — in place)
+                # drain short-bucket work (slot 0) before long pairs,
+                # taking from each list's tail (keeps the head — oldest,
+                # most likely pool-resident — in place)
                 for slot in (0, 1):
                     while excess and v[slot]:
                         spill.append((v[slot].pop(), slot))

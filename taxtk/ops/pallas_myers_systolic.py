@@ -62,7 +62,8 @@ DEFAULT_SUB = 8
 STAG = 4  # inter-block stagger in text steps (== UNROLL, see below)
 
 
-def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
+def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
+                          bits: int = 4):
     # UNROLL == STAG: block k runs STAG text steps behind block k-1, so
     # the carries a char consumes were produced STAG chars earlier — all
     # chars within one unrolled trip read LAST trip's FIFO slots and are
@@ -114,8 +115,12 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
             # chars of a trip consume the PREVIOUS trip's slots, so their
             # carry chains are independent and interleave
             C_old, PH_old, MH_old = fifo[u]
-            packed = text_ref[jj >> 1].astype(jnp.int32)
-            fresh = (packed >> ((jj & 1) * 4)) & 15
+            if bits == 2:
+                packed = text_ref[jj >> 2].astype(jnp.int32)
+                fresh = (packed >> ((jj & 3) * 2)) & 3
+            else:
+                packed = text_ref[jj >> 1].astype(jnp.int32)
+                fresh = (packed >> ((jj & 1) * 4)) & 15
             C = jnp.where(head, fresh, pltpu.roll(C_old, 1, axis=1))
             ph_in = jnp.where(head, 1, pltpu.roll(PH_old, 1, axis=1))
             mh_in = jnp.where(head, 0, pltpu.roll(MH_old, 1, axis=1))
@@ -131,9 +136,10 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
             new_mvs = []
             for k in range(KC):
                 eq0 = peq_ref[k, 0]
-                for c in range(1, ALPHA):
+                for c in range(1, 4 if bits == 2 else ALPHA):
                     eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
-                eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
+                if bits != 2:  # 2-bit codes are always < ALPHA
+                    eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
                 pv_k = jnp.where(enter, jnp.uint32(0xFFFFFFFF), pvs[k])
                 mv_k = jnp.where(enter, jnp.uint32(0), mvs[k])
                 eq = eq0 | carry_mh
@@ -203,11 +209,13 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("KC", "Tc", "n_chunks", "n_tiles", "SUB", "interpret"),
+    static_argnames=("KC", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
+                     "bits"),
 )
 def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
-                   KC, Tc, n_chunks, n_tiles, SUB, interpret=False):
-    kernel = _make_systolic_kernel(KC, Tc, n_chunks, SUB)
+                   KC, Tc, n_chunks, n_tiles, SUB, interpret=False,
+                   bits=4):
+    kernel = _make_systolic_kernel(KC, Tc, n_chunks, SUB, bits)
     B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
     bspec = pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0),
                          memory_space=pltpu.VMEM)
@@ -219,7 +227,8 @@ def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
         in_specs=[
             pl.BlockSpec((KC, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tc // 2, SUB, LANE), lambda p, t: (t, p, 0),
+            pl.BlockSpec((Tc * bits // 8, SUB, LANE),
+                         lambda p, t: (t, p, 0),
                          memory_space=pltpu.VMEM),
             bspec, bspec, bspec, bspec, bspec, bspec,
         ],
@@ -239,7 +248,7 @@ def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
 
 
 def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
-                   interpret=False, build_pools=True):
+                   interpret=False, build_pools=True, bits=4):
     """Assign (pair, block) slots to lanes row by row and build the
     kernel's WIRE arrays: packed per-pair pattern/text code columns plus
     small per-slot metadata — the lane-layout peq planes and the
@@ -336,8 +345,8 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
     if build_pools:  # the pool-cache front end gathers from the
         all_used = np.ones(B, bool)  # device-resident pool instead
         pat_u = _pack_text_pool(patterns, plen_pat[:B], all_used,
-                                K_full * WORD, B1, bits=4)
-        text_u = _pack_text_pool(texts, n_len, all_used, Np, B1, bits=4)
+                                K_full * WORD, B1, bits=bits)
+        text_u = _pack_text_pool(texts, n_len, all_used, Np, B1, bits=bits)
 
     inputs = dict(
         pat_u=pat_u, text_u=text_u, plen_pat=plen_pat,
@@ -350,7 +359,8 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
 
 def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                 lanek, nlen, mword, mbit, mlen,
-                KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret):
+                KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret,
+                bits):
     """Device-side staging: build peq planes from packed pattern codes
     (_peq_from_codes, the round-2 device builder), gather (pair, block)
     columns into the slot-lane layout, expand the text stream to head
@@ -359,7 +369,8 @@ def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
     HBM."""
     S = n_tiles * SUB
     Np = n_chunks * Tc
-    peq_u = _peq_from_codes(pat_u, plen_pat, nbmax * KC, 4)  # [K, A, B1]
+    nbytes = Np * bits // 8
+    peq_u = _peq_from_codes(pat_u, plen_pat, nbmax * KC, bits)  # [K,A,B1]
     peq_flat = (
         peq_u.reshape(nbmax, KC, ALPHA, B1)
         .transpose(1, 2, 0, 3)
@@ -367,48 +378,51 @@ def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
     )
     peq = jnp.take(peq_flat, peq_col, axis=2).reshape(KC, ALPHA, S, LANE)
     text = jnp.take(
-        text_u[: Np // 2], txt_col, axis=1
-    ).reshape(Np // 2, S, LANE)
+        text_u[:nbytes], txt_col, axis=1
+    ).reshape(nbytes, S, LANE)
     return _call_systolic(
         peq, text, head, lanek, nlen, mword, mbit, mlen,
         KC=KC, Tc=Tc, n_chunks=n_chunks, n_tiles=n_tiles, SUB=SUB,
-        interpret=interpret,
+        interpret=interpret, bits=bits,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
-                     "SUB", "interpret"),
+                     "SUB", "interpret", "bits"),
 )
 def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                     lanek, nlen, mword, mbit, mlen,
                     KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                    interpret=False):
+                    interpret=False, bits=4):
     return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                        lanek, nlen, mword, mbit, mlen,
-                       KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret)
+                       KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
+                       interpret, bits)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
-                     "SUB", "interpret"),
+                     "SUB", "interpret", "bits"),
 )
 def _stage_and_call_pool(pool, pat_cols, txt_cols, plen_pat, peq_col,
                          txt_col, head, lanek, nlen, mword, mbit, mlen,
                          KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                         interpret=False):
+                         interpret=False, bits=4):
     """Pool front end: per-pair pattern/text code columns gathered from
     the CROSS-ROUND device-resident pool (ops/seqpool.py) — the round's
     H2D is just the rows not yet on device (pass-1/2 re-alignments are
     ~all hits), exactly the classic long path's residency model."""
     Np = n_chunks * Tc
-    pat_u = jnp.take(pool[: nbmax * KC * WORD // 2], pat_cols, axis=1)
-    text_u = jnp.take(pool[: Np // 2], txt_cols, axis=1)
+    cpb = 8 // bits
+    pat_u = jnp.take(pool[: nbmax * KC * WORD // cpb], pat_cols, axis=1)
+    text_u = jnp.take(pool[: Np // cpb], txt_cols, axis=1)
     return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                        lanek, nlen, mword, mbit, mlen,
-                       KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret)
+                       KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
+                       interpret, bits)
 
 
 def batched_edit_distance_systolic(
@@ -432,10 +446,17 @@ def batched_edit_distance_systolic(
     SUB = sub_tile
     Tc = max(4, text_chunk)
     Tc += (-Tc) % 4
+    # 2-bit wire for N-free batches: halves the pool bytes AND shares
+    # the cross-round pool with the classic long path (same (bits, Hc)
+    # class -> no double residency); sound because results are harvested
+    # exactly at n_len (pad fields read as code 3) and _peq_from_codes
+    # masks pattern pads by plen
+    bits = 2 if (int(a_codes.max(initial=0)) < 4
+                 and int(b_codes.max(initial=0)) < 4) else 4
 
     inputs, last_slot, (n_tiles, n_chunks, Np, nbmax) = _pack_systolic(
         a_codes, b_codes, a_len, b_len, KC, SUB, Tc, interpret,
-        build_pools=pool_cache is None)
+        build_pools=pool_cache is None, bits=bits)
     B1 = _pow2(B + 1)
     meta = (
         jnp.asarray(inputs["plen_pat"]), jnp.asarray(inputs["peq_col"]),
@@ -446,7 +467,7 @@ def batched_edit_distance_systolic(
     )
     statics = dict(
         KC=KC, nbmax=nbmax, B1=B1, Tc=Tc, n_chunks=n_chunks,
-        n_tiles=n_tiles, SUB=SUB, interpret=interpret,
+        n_tiles=n_tiles, SUB=SUB, interpret=interpret, bits=bits,
     )
     if pool_cache is not None:
         from .pallas_myers import _dedupe_pool
@@ -459,7 +480,7 @@ def batched_edit_distance_systolic(
         txt_entry = np.where(swap, idx_a, idx_b)
         Hc = max(DevicePoolCache.height_class(Np),
                  _pow2(nbmax * KC * WORD))
-        pool_dev, slots = pool_cache.ensure(4, Hc, keys, rows, plen)
+        pool_dev, slots = pool_cache.ensure(bits, Hc, keys, rows, plen)
         pat_cols = np.zeros(B1, np.int32)
         pat_cols[:B] = slots[pat_entry]
         txt_cols = np.zeros(B1, np.int32)
@@ -480,6 +501,13 @@ def batched_edit_distance_systolic(
         for i in range(B):
             r, l = last_slot[i]
             out[i] = res[r, l]
+        # empty-side pairs: the kernel's harvest fires at jeff1 == n_len
+        # with a zero score seed when m == 0, so pin the exact answer
+        # here (distance(empty, s) == len(s)) — matches the chunked
+        # path's drop-in contract
+        empty = (a_len == 0) | (b_len == 0)
+        if empty.any():
+            out = np.where(empty, np.maximum(a_len, b_len), out)
         return out
 
     if lazy == "device":

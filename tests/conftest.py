@@ -36,10 +36,20 @@ def _build_ref_tool(binary_name, main_src, extra_srcs):
     """Compile a reference-code oracle binary against the vendored SeqAn
     + the minimal Boost shim (tests/tools/boost_shim); returns the
     binary path or None when the reference tree/toolchain is missing."""
+    ref = pathlib.Path("/root/reference/core")
     binary = TOOLS_DIR / binary_name
     if binary.exists():
-        return str(binary)
-    ref = pathlib.Path("/root/reference/core")
+        # staleness: rebuild when the harness source, any reference
+        # source, or any boost-shim header is newer than the binary
+        deps = [main_src if os.path.isabs(main_src)
+                else str(ref / main_src)]
+        deps += [str(ref / "src" / f) for f in extra_srcs]
+        deps += [str(p) for p in (TOOLS_DIR / "boost_shim").rglob("*.hpp")]
+        bin_mtime = binary.stat().st_mtime
+        if all(os.path.getmtime(d) <= bin_mtime
+               for d in deps if os.path.exists(d)):
+            return str(binary)
+        binary.unlink()
     if not ref.exists():
         return None
     cmd = [

@@ -338,3 +338,43 @@ def test_systolic_pool_cache_parity_and_residency():
         )
         np.testing.assert_array_equal(got, exp)
     assert cache.hits > 0 and cache.hits == cache.misses  # round 2 all hit
+
+
+def test_systolic_2bit_wire_parity():
+    """N-free batches route the systolic wire at bits=2 (shared pool
+    class with the classic long path); parity with the oracle and with
+    the bits=4 path on the same pairs."""
+    from taxtk.ops import oracle
+    from taxtk.ops.pallas_myers_systolic import (
+        batched_edit_distance_systolic,
+    )
+    from taxtk.ops.seqpool import DevicePoolCache
+
+    rng = np.random.RandomState(21)
+    B = 6
+    la = rng.randint(40, 250, B)
+    lb = rng.randint(40, 250, B)
+    ac = np.zeros((B, la.max()), np.uint8)
+    bc = np.zeros((B, lb.max()), np.uint8)
+    for i in range(B):
+        ac[i, : la[i]] = rng.randint(0, 4, la[i])  # ACGT only
+        bc[i, : lb[i]] = rng.randint(0, 4, lb[i])
+    al, bl = la.astype(np.int32), lb.astype(np.int32)
+    exp = np.array(
+        [oracle.edit_distance(ac[i, : al[i]], bc[i, : bl[i]])
+         for i in range(B)]
+    )
+    got = batched_edit_distance_systolic(
+        ac, bc, al, bl, block_words=2, sub_tile=2, text_chunk=64,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(got, exp)
+    cache = DevicePoolCache()
+    got2 = batched_edit_distance_systolic(
+        ac, bc, al, bl, block_words=2, sub_tile=2, text_chunk=64,
+        interpret=True, pool_cache=cache,
+    )
+    np.testing.assert_array_equal(got2, exp)
+    assert (2, max(p for b, p in cache.pools)) in cache.pools or any(
+        b == 2 for b, _ in cache.pools
+    )  # the bits=2 pool class was actually used
