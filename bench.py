@@ -504,7 +504,11 @@ def _bench_protein_kernel(platform):
             d_args = [jnp.asarray(x) for x in (acode, fwd, ablen, alen_p)]
             statics = (256, Mp2, steps_end, fwd_w, n_tiles)
             _ = float(jnp.asarray(pp._call(*d_args, *statics)).sum())
-            CHAIN = 8
+            # the canonical launch is ~1.5 ms of kernel; one tunnel sync
+            # is ~50-170 ms, so short chains measure the sync (r3: 5.6
+            # GCUPS at CHAIN=8) — amortize over a long chain like the
+            # DNA metric's 16x137ms rounds do
+            CHAIN = 128
             gc = []
             for _ in range(5):
                 t0 = _t.time()
