@@ -537,3 +537,52 @@ def test_dna_1k_record_sets_byte_identical(rpa_ref_oracle, tmp_path,
         1 for line in expected.splitlines() if not line.startswith("#"))
     assert n_sets >= 1000, n_sets
     assert got == expected
+
+
+def test_dna_long_segments_byte_identical(rpa_ref_oracle, tmp_path,
+                                          monkeypatch, capsys):
+    """Long-segment decision parity: 8-15 kbp queries against 20 kbp
+    references — the regime the engine routes through the long-pair
+    kernels on TPU (native host Myers in this CPU suite); the
+    reference's SeqAn MyersBitVector runs the same pairs."""
+    _require(rpa_ref_oracle)
+    rng = random.Random(42)
+    write_dump(str(tmp_path))
+    base = "".join(rng.choice("ACGT") for _ in range(20_000))
+    genomes = {f"ref{i}": _mutate(rng, base, 0.02 * i) for i in range(5)}
+    mapping = {rid: LEAF_TAXIDS[i % len(LEAF_TAXIDS)]
+               for i, rid in enumerate(genomes)}
+    refdata = tmp_path / "refdata.fna"
+    with open(refdata, "w") as fh:
+        for rid, seq in genomes.items():
+            fh.write(f">{rid}\n{seq}\n")
+    mapfile = tmp_path / "mapping.tax"
+    with open(mapfile, "w") as fh:
+        for rid, tid in mapping.items():
+            fh.write(f"{rid}\t{tid}\n")
+    queries, rows = {}, []
+    for q in range(8):
+        qlen = rng.randrange(8_000, 15_000)
+        start = rng.randrange(0, len(base) - qlen)
+        qid = f"lq{q}"
+        queries[qid] = _mutate(rng, base[start : start + qlen], 0.01)
+        for i, rid in enumerate(sorted(genomes)):
+            ident = int(qlen * (0.97 - 0.03 * i))
+            rows.append(
+                f"{qid}\t1\t{qlen}\t{qlen}\t{rid}\t{start+1}\t"
+                f"{start+qlen}\t{round(2.0*ident-qlen, 1)}\t1e-30\t"
+                f"{ident}\t{qlen}"
+            )
+    qfile = tmp_path / "query.fna"
+    with open(qfile, "w") as fh:
+        for qid, seq in queries.items():
+            fh.write(f">{qid}\n{seq}\n")
+    corpus = dict(
+        dir=str(tmp_path), mapping=str(mapfile), qfile=str(qfile),
+        refdata=str(refdata), rows=rows,
+        alignments="\n".join(rows) + "\n",
+    )
+    expected = _run_oracle(rpa_ref_oracle, corpus)
+    got = _run_taxtk(corpus, [], monkeypatch, capsys)
+    assert got == expected
+    assert expected.count("\n") == 9  # header + 8 records
