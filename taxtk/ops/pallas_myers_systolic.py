@@ -480,6 +480,17 @@ def batched_edit_distance_systolic(
         txt_entry = np.where(swap, idx_a, idx_b)
         Hc = max(DevicePoolCache.height_class(Np),
                  _pow2(nbmax * KC * WORD))
+        # height RATCHET: residency is per (bits, Hc) class, and the
+        # round's natural Hc varies with its own maxima — without the
+        # ratchet a row resident from a pass-0 round (tall class)
+        # re-ships for every smaller pass-1/2 round (measured: config-4
+        # h2d 154 MB vs ~17.5 MB of unique content).  Ratcheting to the
+        # largest class this cache has seen keeps later rounds hitting
+        # the same pool; the first (pass-0) round is the biggest, so the
+        # ratchet settles immediately
+        prev = getattr(pool_cache, "systolic_hc", 0)
+        Hc = max(Hc, prev)
+        pool_cache.systolic_hc = Hc
         pool_dev, slots = pool_cache.ensure(bits, Hc, keys, rows, plen)
         pat_cols = np.zeros(B1, np.int32)
         pat_cols[:B] = slots[pat_entry]

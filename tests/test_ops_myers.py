@@ -378,3 +378,39 @@ def test_systolic_2bit_wire_parity():
     assert (2, max(p for b, p in cache.pools)) in cache.pools or any(
         b == 2 for b, _ in cache.pools
     )  # the bits=2 pool class was actually used
+
+
+def test_systolic_pool_height_ratchet():
+    """Rounds with different shape maxima share ONE pool class (the
+    ratchet): re-aligning a subset in a smaller round must HIT the
+    class the bigger round populated instead of re-shipping into a new
+    (bits, height) class."""
+    from taxtk.ops import oracle
+    from taxtk.ops.pallas_myers_systolic import (
+        batched_edit_distance_systolic,
+    )
+    from taxtk.ops.seqpool import DevicePoolCache
+
+    rng = np.random.RandomState(9)
+    la = np.array([400, 350, 80, 60], np.int32)
+    lb = np.array([380, 300, 90, 70], np.int32)
+    ac = np.zeros((4, 400), np.uint8)
+    bc = np.zeros((4, 380), np.uint8)
+    for i in range(4):
+        ac[i, : la[i]] = rng.randint(0, 4, la[i])
+        bc[i, : lb[i]] = rng.randint(0, 4, lb[i])
+    cache = DevicePoolCache()
+    kw = dict(block_words=2, sub_tile=2, text_chunk=64, interpret=True,
+              pool_cache=cache)
+    got = batched_edit_distance_systolic(ac, bc, la, lb, **kw)
+    exp = [oracle.edit_distance(ac[i, : la[i]], bc[i, : lb[i]])
+           for i in range(4)]
+    assert got.tolist() == exp
+    n_classes = len(cache.pools)
+    m0 = cache.misses
+    # smaller round: only the short pairs — must hit the ratcheted class
+    got2 = batched_edit_distance_systolic(
+        ac[2:], bc[2:], la[2:], lb[2:], **kw)
+    assert got2.tolist() == exp[2:]
+    assert len(cache.pools) == n_classes  # no new class
+    assert cache.misses == m0  # zero re-ships
