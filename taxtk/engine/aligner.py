@@ -531,10 +531,10 @@ class BatchAligner:
                 if B < self.systolic_max_pairs:
                     # sub-half-tile chunks: the block-SYSTOLIC kernel maps
                     # (pair, pattern-block) slots to lanes, so lane fill
-                    # scales with pairs x blocks — measured on chip 3.6x /
-                    # 10x / 22x over the pair-tile chunked path at
+                    # scales with pairs x blocks — measured on chip 3.1x /
+                    # 17.7x / 53x over the pair-tile chunked path at
                     # 64x25k / 16x50k / 4x98k (benchmarks/
-                    # probe_long_kernel.py --systolic)
+                    # probe_long_kernel.py --systolic, KC=32)
                     from ..ops.pallas_myers_systolic import (
                         batched_edit_distance_systolic,
                     )

@@ -55,7 +55,11 @@ from .pallas_myers import (
     _pow2,
 )
 
-DEFAULT_KC = 64  # pattern words per block (2048 bp)
+# pattern words per block (1024 bp): measured 16x50kbp on chip — KC=32
+# 1,009 GCUPS vs KC=64's 669 (halved per-lane pv/mv register state AND
+# doubled slots-per-pair lane fill); KC=16 within noise of 32, KC=32
+# keeps the pattern cap (98,304 bp = 96 blocks) inside one 128-lane row
+DEFAULT_KC = 32
 DEFAULT_SUB = 8
 
 
