@@ -305,7 +305,11 @@ class _H2DMeter:
             def inner(x, *a, **kw):
                 t0 = _t.time()
                 out = fn(x, *a, **kw)
-                if hasattr(x, "nbytes"):
+                # count only genuine host->device ships: an input that is
+                # already a committed jax.Array moves no link bytes (and
+                # asarray may delegate to device_put, which would double
+                # count) — round-4 advisor finding
+                if hasattr(x, "nbytes") and not isinstance(x, jax.Array):
                     self.bytes += x.nbytes
                 self.seconds += _t.time() - t0
                 return out

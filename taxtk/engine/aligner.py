@@ -126,15 +126,18 @@ class BatchAligner:
         # cross-round device-resident sequence pool (ops/seqpool.py): RPA's
         # pass-1/2 rounds re-align the segments pass 0 already shipped
         # (~48% of pool H2D bytes are re-ships, benchmarks/probe_pool_reuse
-        # .py); the cache ships each unique row once
+        # .py).  The cache is PROCESS-SHARED per device by default: pools
+        # are content-addressed, so repeated engine runs against the same
+        # refpack ship each unique row once per process, not once per run
+        # (the round-4 config-4 cold wire was 154.5 MB/run of re-ships)
         self.pool_cache = None
         if (self.mode == "dna" and self.dna_backend == "myers-pallas") or (
             self.mode == "protein"
             and self.protein_backend == "wavefront-pallas"
         ):
-            from ..ops.seqpool import DevicePoolCache
+            from ..ops.seqpool import shared_pool_cache
 
-            self.pool_cache = DevicePoolCache()
+            self.pool_cache = shared_pool_cache()
         # interpret mode defaults pool_gather off; force it on so the pool
         # (and pool cache) paths are exercised exactly as on TPU
         self._pallas_kw = (
@@ -415,13 +418,16 @@ class BatchAligner:
 
     @staticmethod
     def _balance_dp_rows(per_dev, dp, tp):
-        """Cap per-row load within each tp column at 2x the fair share and
-        spill the overflow to the least-loaded rows (deterministic order).
-        The content-stable dp_row routing keeps segments pool-resident,
-        but a workload where one segment is the text of many pairs would
-        land the whole set on one row and idle the others; spilling only
-        the overflow fraction bounds the imbalance while keeping locality
-        for everything under the cap."""
+        """Cap per-row load within each tp column at fair share + half a
+        fair share and spill the overflow to the least-loaded rows
+        (deterministic order).  The content-stable dp_row routing keeps
+        segments pool-resident, but a workload where one segment is the
+        text of many pairs would land the whole set on one row and idle
+        the others; spilling only the overflow fraction bounds the
+        imbalance while keeping locality for everything under the cap.
+        (cap = 1.5x fair share, NOT 2x: at dp=2 a fully skewed column is
+        exactly 2x fair share, so a 2x cap never binds there — round-4
+        advisor finding.)"""
         for c in range(tp):
             rows = {r: per_dev.get((r, c)) for r in range(dp)}
             loads = {
@@ -431,7 +437,10 @@ class BatchAligner:
             total = sum(loads.values())
             if not total:
                 continue
-            cap = max(1, 2 * (-(-total // dp)))
+            fair = -(-total // dp)
+            # floor of 2: moving a lone pair off a 2-pair row buys nothing
+            # (launch overhead dominates) and would unsettle pool locality
+            cap = max(2, fair + total // (2 * dp))
             spill: List[Tuple[int, int]] = []  # (k, slot)
             for r in sorted(rows):
                 v = rows[r]
@@ -455,14 +464,15 @@ class BatchAligner:
 
     def _device_pool(self, dev):
         """Per-device cross-round pool cache (mesh mode): each device's
-        pool lives in its own HBM."""
+        pool lives in its own HBM (process-shared per device, like the
+        single-device cache)."""
         if self.pool_cache is None:
             return None
         p = self._pool_caches.get(dev)
         if p is None:
-            from ..ops.seqpool import DevicePoolCache
+            from ..ops.seqpool import shared_pool_cache
 
-            p = self._pool_caches[dev] = DevicePoolCache()
+            p = self._pool_caches[dev] = shared_pool_cache(dev)
         return p
 
     def _dispatch_tpu_long(self, pairs, idxs_all, results, finishers,

@@ -446,6 +446,15 @@ def batched_edit_distance_systolic(
     a_len = np.asarray(a_len, np.int32)
     b_len = np.asarray(b_len, np.int32)
     B = a_codes.shape[0]
+    if B == 0:
+        # honor the drop-in contract for empty batches (the packer's
+        # np.concatenate([]) would raise) — round-4 advisor finding
+        empty = np.zeros(0, np.int32)
+        if lazy == "device":
+            return empty, lambda host_res: np.asarray(host_res)
+        if lazy:
+            return lambda: empty
+        return empty
     KC = block_words
     SUB = sub_tile
     Tc = max(4, text_chunk)

@@ -287,7 +287,7 @@ def test_balance_dp_rows_spills_hot_row():
                (0, 1): ([100, 101], []), (2, 1): ([102], [])}
     BatchAligner._balance_dp_rows(per_dev, dp, tp)
     loads0 = {r: len(per_dev.get((r, 0), ([], []))[0]) for r in range(dp)}
-    cap = 2 * (-(-40 // dp))  # 20
+    cap = (-(-40 // dp)) + 40 // (2 * dp)  # fair + fair/2 = 15
     assert loads0[1] == cap
     assert sum(loads0.values()) == 40
     assert max(loads0.values()) - min(loads0.values()) <= cap
@@ -301,3 +301,19 @@ def test_balance_dp_rows_spills_hot_row():
     BatchAligner._balance_dp_rows(per_dev2, dp, tp)
     assert {k: tuple(map(tuple, v)) for k, v in per_dev.items()} == \
            {k: tuple(map(tuple, v)) for k, v in per_dev2.items()}
+
+
+def test_balance_dp_rows_binds_at_dp2():
+    """dp=2 regression (round-4 advisor): a fully skewed column is exactly
+    2x fair share, so the old 2x cap never spilled and the second row sat
+    idle.  The 1.5x-fair cap must move ~a quarter of the load over."""
+    from taxtk.engine.aligner import BatchAligner
+
+    dp, tp = 2, 1
+    per_dev = {(0, 0): (list(range(40)), [])}
+    BatchAligner._balance_dp_rows(per_dev, dp, tp)
+    cap = (-(-40 // dp)) + 40 // (2 * dp)  # 20 + 10 = 30
+    loads = {r: len(per_dev.get((r, 0), ([], []))[0]) for r in range(dp)}
+    assert loads[0] == cap and loads[1] == 40 - cap
+    # head (most pool-resident) of the hot row stays in place
+    assert per_dev[(0, 0)][0][:cap] == list(range(cap))

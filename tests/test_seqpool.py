@@ -421,3 +421,71 @@ class TestEngineWithPoolCache:
         )
         assert out_pool == out_oracle
         assert aligner.pool_cache.hits > 0  # cross-round reuse happened
+
+
+class TestSharedPoolCache:
+    def test_shared_registry_per_device(self):
+        """shared_pool_cache returns one cache per device, stable across
+        calls; reset_shared_pools drops them."""
+        seqpool.reset_shared_pools()
+        c1 = seqpool.shared_pool_cache()
+        c2 = seqpool.shared_pool_cache()
+        assert c1 is c2
+        seqpool.reset_shared_pools()
+        assert seqpool.shared_pool_cache() is not c1
+
+    def test_cross_aligner_zero_reships(self):
+        """Two independent BatchAligner instances (fresh engine runs in one
+        process — the round-4 config-4 cold-wire scenario) share the pool:
+        the second run of the same workload ships ZERO new rows."""
+        from taxtk.engine.aligner import BatchAligner
+
+        seqpool.reset_shared_pools()
+        rng = np.random.RandomState(3)
+        pairs = [
+            (rng.randint(0, 4, 150).astype(np.uint8),
+             rng.randint(0, 4, 200).astype(np.uint8))
+            for _ in range(12)
+        ]
+
+        def run():
+            al = BatchAligner(
+                "dna", dna_backend="myers-pallas", pallas_interpret=True
+            )
+            out = al.align_pairs(pairs)
+            return al, [(v.distance, v.similarity) for v in out]
+
+        al1, out1 = run()
+        cache = al1.pool_cache
+        m0, h0 = cache.misses, cache.hits
+        assert m0 > 0
+        al2, out2 = run()
+        assert al2.pool_cache is cache  # process-shared
+        assert cache.misses == m0  # zero re-ships on the warm run
+        assert cache.hits > h0
+        assert out1 == out2
+        seqpool.reset_shared_pools()
+
+
+def test_systolic_empty_batch():
+    """B == 0 honors the drop-in contract (round-4 advisor finding)."""
+    from taxtk.ops.pallas_myers_systolic import (
+        batched_edit_distance_systolic,
+    )
+
+    empty_codes = np.zeros((0, 8), np.uint8)
+    empty_len = np.zeros(0, np.int32)
+    out = batched_edit_distance_systolic(
+        empty_codes, empty_codes, empty_len, empty_len, interpret=True
+    )
+    assert out.shape == (0,)
+    fin = batched_edit_distance_systolic(
+        empty_codes, empty_codes, empty_len, empty_len, interpret=True,
+        lazy=True,
+    )
+    assert fin().shape == (0,)
+    dev, post = batched_edit_distance_systolic(
+        empty_codes, empty_codes, empty_len, empty_len, interpret=True,
+        lazy="device",
+    )
+    assert post(np.asarray(dev)).shape == (0,)
