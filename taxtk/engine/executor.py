@@ -297,24 +297,20 @@ class RpaEngine:
         if self.mesh_backend is not None:
             with m.stage("merge"):
                 merged_by_task = self._pass0_collective_merge(tasks, pair_caches)
+        # replay passes run batched through the native dispatcher (one C
+        # call per pass per macro-batch, models/replay_dispatch.py); tasks
+        # that must stay on the Python replay (decision logging, mesh
+        # merge, library unavailable) fall back inside it per task
+        from ..models import replay_dispatch as rd
+
         with m.stage("replay"):
-            reqs = [
-                t.replay_pass0(pc, merged=merged_by_task.get(ti))
-                if t.result is None
-                else []
-                for ti, (t, pc) in enumerate(zip(tasks, pair_caches))
-            ]
+            reqs = rd.run_pass0(tasks, pair_caches, merged_by_task)
         yield from self._align_round(tasks, caches, pair_caches, reqs)
         with m.stage("replay"):
-            reqs = [
-                t.replay_pass1(pc) if t.result is None else []
-                for t, pc in zip(tasks, pair_caches)
-            ]
+            reqs = rd.run_pass1(tasks, pair_caches)
         yield from self._align_round(tasks, caches, pair_caches, reqs)
         with m.stage("replay"):
-            for t, pc in zip(tasks, pair_caches):
-                if t.result is None:
-                    t.replay_pass2(pc)
+            rd.run_pass2(tasks, pair_caches)
         m.pairs = self.aligner.pairs_aligned
         return tasks
 

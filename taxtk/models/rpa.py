@@ -139,6 +139,155 @@ class RpaTask:
     def _lca(self, a: int, b: int) -> int:
         return self.tax.lca_scalar(int(a), int(b))
 
+    # ------------------------------------------------------- native dispatch
+    # The replay passes are the engine's dominant host cost; when the
+    # native library is available (and the task neither logs nor rides a
+    # mesh merge), the decision replay runs in C++ with identical
+    # float32/double semantics (taxtk/native/replay.cpp — diffed against
+    # this Python implementation on randomized corpora and against the
+    # reference's own compiled predict() via the oracle suite).
+
+    def _native_ok(self) -> bool:
+        if self.logging:
+            return False
+        from ..native import replay as _nr
+
+        return _nr.available()
+
+    def _native_arrays(self):
+        arrs = getattr(self, "_na", None)
+        if arrs is None:
+            records = self.records
+            n = self.n
+            scores = np.fromiter(
+                (r.score for r in records), np.float64, count=n
+            )
+            idents = np.fromiter(
+                (r.identities for r in records), np.int32, count=n
+            )
+            nodes = np.fromiter(
+                (r.reference_node for r in records), np.int32, count=n
+            )
+            arrs = self._na = (scores, idents, nodes)
+        return arrs
+
+    def _native_pass0(self, cache) -> List[PairKey]:
+        from ..native import replay as _nr
+
+        n = self.n
+        scores, idents, nodes = self._native_arrays()
+        exact = np.asarray(self._pass0_exact, np.uint8)
+        aligned = np.asarray(self._pass0_aligned, np.uint8)
+        qdist_c = np.full(n, np.nan, np.float32)
+        qsim_c = np.full(n, np.nan, np.float32)
+        for i in np.flatnonzero(aligned):
+            v = cache[("q", int(i), -1)]
+            qdist_c[i] = v.distance
+            qsim_c[i] = v.similarity
+        tl, tr, tp, td, root = _nr.tax_arrays(self.tax)
+        (qd, qs, qgroup, rtax, lca_allnodes, support, (p0, p0n)) = (
+            _nr.rpa_pass0(
+                scores, idents, nodes, exact, aligned, qdist_c, qsim_c,
+                tl, tr, tp, td, root,
+            )
+        )
+        self.querydistance = qd  # np.float32 array (scalar reads match)
+        self.querysimilarity = qs
+        self.qgroup = qgroup
+        self.rtax = rtax
+        self.lca_allnodes = lca_allnodes
+        self.anchors_support = support
+        self.lnode_global = rtax
+        self.unode_global = rtax
+        self.counters["p0"] += p0
+        self.counters["p0n"] += p0n
+
+        reqs: List[PairKey] = []
+        nz = [int(i) for i in np.flatnonzero(qd != np.float32(0.0))]
+        for a in qgroup:
+            reqs.extend(("s", i, a) for i in nz if i != a)
+        return reqs
+
+    def _native_pass1(self, cache) -> List[PairKey]:
+        from ..native import replay as _nr
+
+        n = self.n
+        scores, idents, nodes = self._native_arrays()
+        qd = self.querydistance
+        qgroup = self.qgroup
+        sdist = np.full((len(qgroup), n), np.nan, np.float32)
+        zero = np.float32(0.0)
+        for r, a in enumerate(qgroup):
+            row = sdist[r]
+            for i in range(n):
+                if i != a and qd[i] != zero:
+                    row[i] = cache[("s", i, a)].distance
+        tl, tr, tp, td, root = _nr.tax_arrays(self.tax)
+        (outgroup, ival_g, bf_max, lnode_g, unode_g, anchors, (p1, p1n)) = (
+            _nr.rpa_pass1(
+                scores, idents, nodes, self.qrlength,
+                self.exclude_factor, qd, self.querysimilarity, qgroup,
+                self.rtax, self.lnode_global, self.unode_global, sdist,
+                tl, tr, tp, td, root,
+            )
+        )
+        self.outgroup = outgroup
+        self.ival_global = ival_g
+        self.lnode_global = lnode_g
+        self.unode_global = unode_g
+        self.bandfactor_max = bf_max
+        self.pass1_anchor_count += anchors
+        self.counters["p1"] += p1
+        self.counters["p1n"] += p1n
+
+        reqs: List[PairKey] = []
+        for a in outgroup:
+            reqs.extend(("s", i, a) for i in range(n) if i != a)
+            if qd[a] == FLT_MAX:
+                reqs.append(("q", a, -1))
+        return reqs
+
+    def _native_pass2(self, cache) -> None:
+        from ..native import replay as _nr
+
+        n = self.n
+        scores, idents, nodes = self._native_arrays()
+        outgroup = self.outgroup
+        k = len(outgroup)
+        sdist = np.full((k, n), np.nan, np.float32)
+        qdist2 = np.full(k, np.nan, np.float32)
+        qsim2 = np.full(k, np.nan, np.float32)
+        for r, a in enumerate(outgroup):
+            row = sdist[r]
+            for i in range(n):
+                if i != a:
+                    row[i] = cache[("s", i, a)].distance
+            qv = cache.get(("q", a, -1))
+            if qv is not None:
+                qdist2[r] = qv.distance
+                qsim2[r] = qv.similarity
+        tl, tr, tp, td, root = _nr.tax_arrays(self.tax)
+        ival_g, unode_g, (p2, p2n) = _nr.rpa_pass2(
+            scores, idents, nodes, self.qrlength, self.exclude_factor,
+            self.bandfactor_max, self.querydistance, self.querysimilarity,
+            outgroup, self.lca_allnodes, self.lnode_global,
+            self.unode_global, self.ival_global, sdist, qdist2, qsim2,
+            tl, tr, tp, td, root,
+        )
+        self.counters["p2"] += p2
+        self.counters["p2n"] += p2n
+        self.result = dict(
+            kind="full",
+            qrstart=self.qrstart,
+            qrstop=self.qrstop,
+            lnode=self.lnode_global,
+            unode=unode_g,
+            support=self.anchors_support,
+            rtax=self.rtax,
+            ival=ival_g,
+            signal=f32(0.0),
+        )
+
     @property
     def _root(self) -> int:
         return self.tax.ROOT
@@ -326,6 +475,9 @@ class RpaTask:
         CROSS-CHECKS the collective result against the host reductions —
         a logged mesh run is a built-in differential test of the merge
         (it fails loudly on divergence instead of silently bypassing)."""
+        self._use_native = merged is None and self._native_ok()
+        if self._use_native:
+            return self._native_pass0(cache)
         use_merged = merged is not None and not self.logging
         records = self.records
         n = self.n
@@ -462,6 +614,8 @@ class RpaTask:
     # ------------------------------------------------------------------ phase C
     def replay_pass1(self, cache: Dict[PairKey, AlignValue]) -> List[PairKey]:
         """Pass 1 (:576-733).  Returns the pass-2 pair superset."""
+        if getattr(self, "_use_native", False):
+            return self._native_pass1(cache)
         records = self.records
         n = self.n
         root = self._root
@@ -695,6 +849,8 @@ class RpaTask:
     # ------------------------------------------------------------------ phase D
     def replay_pass2(self, cache: Dict[PairKey, AlignValue]) -> None:
         """Pass 2 (:737-822) and final result assembly (:824-837)."""
+        if getattr(self, "_use_native", False):
+            return self._native_pass2(cache)
         records = self.records
         n = self.n
         exclude = self.exclude_factor
