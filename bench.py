@@ -369,17 +369,28 @@ def _breakdown_fields(med_run, prefix):
 
 def _summarize_e2e(runs, prefix, unit="mbp"):
     """Median/best/spread + the median run's stage breakdown; unit
-    names the per-hour field (mbp for DNA, maa for protein)."""
+    names the per-hour field (mbp for DNA, maa for protein).
+
+    Round-4 VERDICT item 4: at 40%+ min-max spread a median of 5 cannot
+    resolve a <15% round-over-round change, so the headline spread is
+    now TRIMMED (drop the fastest and slowest rep when >= 5 reps — the
+    shared tunnel's congestion spikes hit single reps); the raw min-max
+    spread is kept as *_minmax_spread_pct for the tunnel-health record.
+    The congestion-insensitive companion is *_projected_local_* (code-
+    determined terms only, see _add_local_projection)."""
     key = lambda r: r["total_qbp"] / 1e6 / (r["engine_s"] / 3600.0)
     runs = sorted(runs, key=key)
     mbph = [key(r) for r in runs]
     med_run = runs[len(runs) // 2]
     med = mbph[len(mbph) // 2]
-    spread = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
+    minmax = 100.0 * (mbph[-1] - mbph[0]) / med if med else 0.0
+    inner = mbph[1:-1] if len(mbph) >= 5 else mbph
+    spread = 100.0 * (inner[-1] - inner[0]) / med if med else 0.0
     out = {
         f"{prefix}_{unit}_per_hour": round(med, 1),
         f"{prefix}_best_{unit}_per_hour": round(mbph[-1], 1),
         f"{prefix}_spread_pct": round(spread, 1),
+        f"{prefix}_minmax_spread_pct": round(minmax, 1),
     }
     out.update(_breakdown_fields(med_run, prefix))
     return out
@@ -404,8 +415,11 @@ def _bench_e2e(platform):
     import sys
     import tempfile
 
-    E2E_CONTIGS, E2E_REPS = 300, 5
-    C4_CONTIGS, C4_REPS = 350, 3
+    # rep counts raised round 5 (runs got ~2.5x faster with the shared
+    # pool cache, so 7/5 reps still fit the budget) — more reps + the
+    # trimmed spread make single-rep tunnel spikes non-events
+    E2E_CONTIGS, E2E_REPS = 300, 7
+    C4_CONTIGS, C4_REPS = 350, 5
     out = {}
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
@@ -519,6 +533,40 @@ def _bench_protein_kernel(platform):
                 outs = [pp._call(*d_args, *statics) for _ in range(CHAIN)]
                 _chk = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
                 gc.append(CHAIN * Bp * Mp * Np / (_t.time() - t0) / 1e9)
+            # SWAR 2x16 kernel (v6, non-default): the round-4 probe
+            # predicted 2.16x but the real kernel measured ~1.0-1.06x
+            # (docs/STATUS.md round 5) — record its rate each round so
+            # the falsification stays visible and a toolchain shift
+            # would be noticed.  Best measured config: SUB=128.
+            try:
+                SUBS = 128
+                Mp2s, steps_s, fwd_ws, _nt = pp._shapes(Bp, Mp, Np, SUBS)
+                nts = max(1, -(-Bp // (2 * SUBS)))
+                Bps = 2 * nts * SUBS
+                acs = np.full((Bps, Mp2s), 255, np.uint8)
+                acs[:Bp, :Mp] = a
+                fws = np.full((Bps, fwd_ws), 255, np.uint8)
+                fws[:Bp, :Np] = b
+                abls = np.ones(Bps, np.int32)
+                abls[:Bp] = al + bl
+                alps = np.zeros(Bps, np.int32)
+                alps[:Bp] = al
+                d_s = [jnp.asarray(x) for x in (acs, fws, abls, alps)]
+                st_s = (SUBS, Mp2s, steps_s, fwd_ws, nts)
+                _ = float(jnp.asarray(pp._call_swar(*d_s, *st_s)).sum())
+                gs = []
+                for _ in range(3):
+                    t0 = _t.time()
+                    outs = [pp._call_swar(*d_s, *st_s)
+                            for _ in range(CHAIN)]
+                    _chk = float(
+                        jnp.stack([jnp.sum(o) for o in outs]).sum())
+                    gs.append(CHAIN * Bp * Mp * Np / (_t.time() - t0) / 1e9)
+                gs.sort()
+                out["protein_kernel_swar_gcups"] = round(
+                    gs[len(gs) // 2], 2)
+            except Exception:  # pragma: no cover - device-specific
+                pass
         gc.sort()
         out["protein_kernel_gcups"] = round(gc[len(gc) // 2], 2)
 
@@ -556,7 +604,7 @@ def _bench_e2e_protein(platform):
     import sys
     import tempfile
 
-    P_ORFS, P_REPS = 2000, 5
+    P_ORFS, P_REPS = 2000, 7
     out = _bench_protein_kernel(platform)
     try:
         sys.path.insert(0, os.path.join(

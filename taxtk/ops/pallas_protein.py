@@ -229,6 +229,287 @@ def _shapes(B, M, N, SUB):
     return Mp, steps_end, fwd_w, n_tiles
 
 
+# ---------------------------------------------------------------------------
+# Kernel v6: SWAR 2x16 packing — two pairs per int32 lane (hi/lo 16-bit
+# halves).  Closes round-4 VERDICT item 1: the probe chain
+# (benchmarks/probe_packed16.py core mix 2.16x; probe_packed16_real.py
+# FULL mix incl. the two port blockers 1.74x) measured the win despite a
+# higher source-op count — Mosaic op models are unreliable in both
+# directions, so this was built probe-first.
+#
+# The two blockers, resolved:
+#   * per-half variable-shift profile extraction: each half extracts its
+#     own word (own 4-way select over its own profile planes — 8 planes
+#     total, same bytes/pair as v5) and its own variable shift; no SWAR
+#     saving here, but none needed — the core DP mix carries the win;
+#   * packed-stat conflict: v5's single dc<<16|match carry per pair
+#     cannot share a half, so v6 SPLITS the stats into two packed carries
+#     (match16x2 and dc16x2) — per pair the op count is unchanged.
+#
+# Numeric discipline: all scores ride biased non-negative in their half,
+# bias = steps_end + 8 (gap = -1, so any true cell >= -(steps_end)); the
+# guard-bit requirement is bias + 11*Mp < 2^14 (BLOSUM62 max 11/char), so
+# every engine bucket up to 1024x1024 fits and larger buckets fall back
+# to v5.  Garbage (pre-arrival) lanes start at bias-1 and grow at most
+# +11/step until the text-boundary write overwrites them the step before
+# their first real cell (v5 argument), staying under the bound.
+# Pair layout: rows [0:half) ride the LO halves, rows [half:2*half) the
+# HI halves; results unpack and re-stack to the v5 [3, B] output contract.
+
+_SWAR_MASK_LO = 0x0000FFFF
+_SWAR_MASK_HI = -65536  # 0xFFFF0000 as int32
+
+
+def _swar_fits(Mp: int, steps_end: int) -> bool:
+    return (steps_end + 8) + 11 * Mp < (1 << 14)
+
+
+def _make_kernel_swar(SUB: int, Mp: int, steps_end: int, bias: int):
+    gap = int(GAP_SCORE)
+    one2 = (1 << 16) | 1
+
+    def _ge_mask(a, b):
+        # packed per-half (a >= b) masks; halves biased non-negative
+        d_lo = (a & _SWAR_MASK_LO) - (b & _SWAR_MASK_LO)
+        lo_m = jnp.int32(_SWAR_MASK_LO) & ~(d_lo >> 31)
+        d_hi = (a >> 16) - (b >> 16)
+        hi_m = jnp.int32(_SWAR_MASK_HI) & ~(d_hi >> 31)
+        return hi_m | lo_m
+
+    def pmax(a, b):
+        m = _ge_mask(a, b)
+        return (a & m) | (b & ~m)
+
+    def psel(m, t, f):
+        return (t & m) | (f & ~m)
+
+    def kernel(prof_lo_ref, prof_hi_ref, acode_ref, fwd_ref, tgt_ref,
+               s_out, ma_out, dc_out, i0_ref, i1_ref, i2_ref):
+        col = jax.lax.broadcasted_iota(jnp.int32, (SUB, Mp), 1)
+        target2 = tgt_ref[:]  # packed per-half target diagonals
+        # concrete initial layouts via VMEM scratch (v5 note: constant-
+        # folded inits trip a Mosaic relayout error)
+        i0_ref[:] = jnp.full((SUB, Mp), (bias + gap) * 0x10001, jnp.int32)
+        i1_ref[:] = jnp.zeros((SUB, Mp), jnp.int32)
+        i2_ref[:] = jnp.full((SUB, Mp), bias * 0x10001, jnp.int32)
+        s0 = i0_ref[:]
+        zero = i1_ref[:]
+        sh0 = i2_ref[:]
+        acode = acode_ref[:]  # packed: hi char << 16 | lo char
+        pwl = [prof_lo_ref[w] for w in range(_NWORDS)]
+        pwh = [prof_hi_ref[w] for w in range(_NWORDS)]
+
+        def body(d, carry):
+            (s_prev, ma_prev, dc_prev, sh_s, sh_ma, sh_dc, bx, buf) = carry
+            k = d - 2
+            base = pl.multiple_of((k // 128) * 128, 128)
+            window = fwd_ref[:, pl.ds(base, 128)]
+            buf = jnp.where((k % 128) == 0, window,
+                            pltpu.roll(buf, 127, axis=1))
+            newval = buf[:, 0:1]
+            bx = jnp.where(col == 0, newval, pltpu.roll(bx, 1, axis=1))
+
+            # per-half profile extraction (each half: own word select over
+            # its own planes + own variable nibble shift)
+            bx_lo = bx & _SWAR_MASK_LO
+            bx_hi = jax.lax.shift_right_logical(bx, 16)
+            wl = jax.lax.shift_right_logical(bx_lo, 3)
+            word_l = jnp.where(wl == 1, pwl[1], pwl[0])
+            word_l = jnp.where(wl == 2, pwl[2], word_l)
+            word_l = jnp.where(wl == 3, pwl[3], word_l)
+            nib_l = jnp.bitwise_and(
+                jax.lax.shift_right_logical(
+                    word_l,
+                    jax.lax.shift_left(jnp.bitwise_and(bx_lo, 7), 2)), 15)
+            wh = jax.lax.shift_right_logical(bx_hi, 3)
+            word_h = jnp.where(wh == 1, pwh[1], pwh[0])
+            word_h = jnp.where(wh == 2, pwh[2], word_h)
+            word_h = jnp.where(wh == 3, pwh[3], word_h)
+            nib_h = jnp.bitwise_and(
+                jax.lax.shift_right_logical(
+                    word_h,
+                    jax.lax.shift_left(jnp.bitwise_and(bx_hi, 7), 2)), 15)
+            sub2 = (jax.lax.shift_left(nib_h, 16) | nib_l) - jnp.int32(
+                (_BIAS << 16) | _BIAS)
+
+            # per-half match increments
+            x = acode ^ bx
+            is_match2 = (
+                jnp.where((x & _SWAR_MASK_HI) == 0, 1 << 16, 0)
+                | jnp.where((x & _SWAR_MASK_LO) == 0, 1, 0)
+            )
+
+            fill_s = (bias + gap * (d - 1)) * 0x10001
+            s_prev_s = jnp.where(col == 0, fill_s,
+                                 pltpu.roll(s_prev, 1, axis=1))
+            ma_prev_s = jnp.where(col == 0, 0,
+                                  pltpu.roll(ma_prev, 1, axis=1))
+            dc_prev_s = jnp.where(col == 0, 0,
+                                  pltpu.roll(dc_prev, 1, axis=1))
+
+            # v5 tie-break restructure, SWAR packed max via the HYBRID
+            # trick: halves are non-negative and < 2^15, so a native
+            # 32-bit max picks the correct HI half (the hi half dominates
+            # the 32-bit compare) and only the LO half needs its own
+            # masked max — 3-op packed max with a 2-op serial chain,
+            # keeping the score recurrence (the kernel's one genuine
+            # serial chain) near v5's length.  The tie-break ge masks
+            # feed only the STATS selects, off the critical path.
+            def hmax(a, b):
+                lo = jnp.maximum(a & _SWAR_MASK_LO, b & _SWAR_MASK_LO)
+                return (jnp.maximum(a, b) & _SWAR_MASK_HI) | lo
+
+            d_val = sh_s + sub2
+            vmax = hmax(s_prev, s_prev_s)
+            gap_best = vmax - one2
+            best = hmax(d_val, gap_best)
+            new_s = best
+            # stats masks (diag wins ties; when it loses, horizontal wins
+            # iff it beat-or-tied vertical) — parallel to the score chain
+            m_v = _ge_mask(s_prev, s_prev_s)
+            eq_d = _ge_mask(d_val, gap_best)
+            take_h = m_v & ~eq_d
+            new_ma = psel(eq_d, sh_ma + is_match2,
+                          psel(take_h, ma_prev, ma_prev_s))
+            new_dc = psel(eq_d, sh_dc + one2,
+                          psel(take_h, dc_prev, dc_prev_s))
+
+            # text-side boundary write (same lane for both halves)
+            on_tb = col == (d - 1)
+            new_s = jnp.where(on_tb, (bias + gap * d) * 0x10001, new_s)
+            new_ma = jnp.where(on_tb, 0, new_ma)
+            new_dc = jnp.where(on_tb, 0, new_dc)
+
+            # per-half freeze at each pair's own target diagonal
+            live = _ge_mask(target2, d * one2)
+            new_s = psel(live, new_s, s_prev)
+            new_ma = psel(live, new_ma, ma_prev)
+            new_dc = psel(live, new_dc, dc_prev)
+            return (new_s, new_ma, new_dc, s_prev_s, ma_prev_s, dc_prev_s,
+                    bx, buf)
+
+        init = (s0, zero, zero, sh0, zero, zero,
+                zero + ((31 << 16) | 31),
+                zero[:, 0:128] + ((31 << 16) | 31))
+        out = jax.lax.fori_loop(2, steps_end + 1, body, init)
+        s_out[:] = out[0]
+        ma_out[:] = out[1]
+        dc_out[:] = out[2]
+
+    return kernel
+
+
+def _raw_call_swar(prof_lo, prof_hi, acode_p, fwd_p, tgt_p, SUB, Mp,
+                   steps_end, fwd_w, n_tiles, bias, interpret=False):
+    kernel = _make_kernel_swar(SUB, Mp, steps_end, bias)
+    shape = jax.ShapeDtypeStruct((n_tiles * SUB, Mp), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(n_tiles,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((_NWORDS, SUB, Mp), lambda p: (0, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NWORDS, SUB, Mp), lambda p: (0, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, fwd_w), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, Mp), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, Mp), jnp.int32),
+            pltpu.VMEM((SUB, Mp), jnp.int32),
+            pltpu.VMEM((SUB, Mp), jnp.int32),
+        ],
+    )(prof_lo, prof_hi, acode_p, fwd_p, tgt_p)
+
+
+def _from_codes_swar(acode8, fwd8, ablen, alen, SUB, Mp, steps_end, fwd_w,
+                     n_tiles, interpret=False):
+    """SWAR front end: ships the same uint8 code arrays as v5 (rows
+    [0:half) = LO halves, [half:2*half) = HI halves), packs on device,
+    runs the 2x16 kernel, unpacks and re-stacks to the v5 [3, B] output
+    (madc repacked as dc<<16|match so post() is shared verbatim)."""
+    bias = steps_end + 8
+    half = n_tiles * SUB
+    a32 = jnp.minimum(acode8, _CODES - 1).astype(jnp.int32)
+    f32_ = jnp.minimum(fwd8, _CODES - 1).astype(jnp.int32)
+    a_lo, a_hi = a32[:half], a32[half:]
+    acode_p = jax.lax.shift_left(a_hi, 16) | a_lo
+    fwd_p = jax.lax.shift_left(f32_[half:], 16) | f32_[:half]
+    packed = jnp.asarray(_PACKED)  # [NWORDS, CODES]
+    prof_lo = packed[:, a_lo]
+    prof_hi = packed[:, a_hi]
+    abl = ablen.astype(jnp.int32)
+    tgt_p = jax.lax.shift_left(abl[half:], 16) | abl[:half]
+    tgt_p = jnp.broadcast_to(tgt_p[:, None], (half, Mp))
+    s, ma, dc = _raw_call_swar(
+        prof_lo, prof_hi, acode_p, fwd_p, tgt_p, SUB, Mp, steps_end,
+        fwd_w, n_tiles, bias, interpret
+    )
+    mask16 = jnp.int32(0xFFFF)
+    s_all = jnp.concatenate(
+        [(s & mask16) - bias,
+         (jax.lax.shift_right_logical(s, 16) & mask16) - bias]
+    )
+    ma_all = jnp.concatenate(
+        [ma & mask16, jax.lax.shift_right_logical(ma, 16) & mask16]
+    )
+    dc_all = jnp.concatenate(
+        [dc & mask16, jax.lax.shift_right_logical(dc, 16) & mask16]
+    )
+    madc_all = jax.lax.shift_left(dc_all, 16) | ma_all  # v5 post format
+    # per-pair BLOSUM self-scores on device, identical to _from_codes
+    dtab = jnp.asarray(_DIAG)
+    blen = ablen - alen
+    mask_a = jax.lax.broadcasted_iota(jnp.int32, a32.shape, 1) < alen[:, None]
+    mask_b = jax.lax.broadcasted_iota(jnp.int32, f32_.shape, 1) < blen[:, None]
+    self_a = jnp.where(mask_a & (a32 < _AA_N),
+                       jnp.take(dtab, jnp.minimum(a32, _AA_N - 1)), 0)
+    self_b = jnp.where(mask_b & (f32_ < _AA_N),
+                       jnp.take(dtab, jnp.minimum(f32_, _AA_N - 1)), 0)
+    selfscore = self_a.sum(axis=1) + self_b.sum(axis=1)
+    idx = jnp.maximum(alen - 1, 0)[:, None]
+    pick = lambda arr: jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+    return jnp.stack([pick(s_all), pick(madc_all), selfscore])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("SUB", "Mp", "steps_end", "fwd_w", "n_tiles",
+                              "interpret")
+)
+def _call_swar(acode8, fwd8, ablen, alen, SUB, Mp, steps_end, fwd_w,
+               n_tiles, interpret=False):
+    return _from_codes_swar(acode8, fwd8, ablen, alen, SUB, Mp, steps_end,
+                            fwd_w, n_tiles, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("SUB", "Mp", "steps_end", "fwd_w", "n_tiles",
+                              "interpret")
+)
+def _call_pool_swar(pool, a_cols, b_cols, ablen, alen, SUB, Mp, steps_end,
+                    fwd_w, n_tiles, interpret=False):
+    """Pool-gather front end for the SWAR kernel (see _call_pool)."""
+    pool_u = jax.lax.bitcast_convert_type(pool, jnp.uint8)
+    acode8 = jnp.take(pool_u[:Mp], a_cols, axis=1).T
+    fwd8 = jnp.take(pool_u[:fwd_w], b_cols, axis=1).T
+    return _from_codes_swar(acode8, fwd8, ablen, alen, SUB, Mp, steps_end,
+                            fwd_w, n_tiles, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("SUB", "Mp", "steps_end", "fwd_w", "n_tiles",
                               "interpret")
@@ -345,7 +626,8 @@ _POOL_HC_FLOOR = 1024
 
 def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
                                  sub_tile: int = 256, interpret: bool = False,
-                                 lazy: bool = False, pool_cache=None):
+                                 lazy: bool = False, pool_cache=None,
+                                 swar: bool | None = None):
     """Drop-in for protein_align.batched_protein_align (TPU path).
 
     Returns the same dict of numpy arrays (distances etc. computed with the
@@ -355,6 +637,14 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     device-resident across align rounds (bits=8: protein codes raw, one
     per byte); only rows not yet on device ship, and sparse buckets stop
     shipping [Bp(=tile-padded), Mp] dense arrays entirely.
+    swar: force the 2x16 packed kernel on/off.  Default OFF: on v5e the
+    packed kernel measured only 1.00-1.06x v5 per pair across three
+    formulations (emulated max/select, reused-ge tie-break, hybrid
+    native-max) — the round-4 probe's 2.16x was an artifact of comparing
+    two layout-handicapped probe kernels (see docs/STATUS.md round 5).
+    The kernel stays golden-pinned (tests/test_seqan_golden.py) and
+    opt-in via TAXTK_PROTEIN_SWAR=1 should a future toolchain shift the
+    balance; bench.py records its measured rate each round.
     """
     # uint8 coercion: the pool path (_dedupe_pool/_pack_text_pool) keys its
     # device cache on row bytes, so dtype must be pinned at the entry point
@@ -367,8 +657,20 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
     N = b_codes.shape[1]
 
     SUB = sub_tile
-    Mp, steps_end, fwd_w, n_tiles = _shapes(B, M, N, SUB)
-    Bp = n_tiles * SUB
+    Mp, steps_end, fwd_w, _nt = _shapes(B, M, N, SUB)
+    if swar is None:
+        import os
+
+        swar = os.environ.get("TAXTK_PROTEIN_SWAR") == "1"
+    swar = swar and _swar_fits(Mp, steps_end)
+    if swar:
+        # two pairs per lane: a tile serves 2*SUB pairs (rows [0:half) on
+        # the LO halves, [half:2*half) on the HI halves)
+        n_tiles = max(1, -(-B // (2 * SUB)))
+        Bp = 2 * n_tiles * SUB
+    else:
+        n_tiles = _nt
+        Bp = n_tiles * SUB
 
     ablen = np.ones(Bp, np.int32)
     ablen[:B] = a_len + b_len
@@ -386,7 +688,8 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
         b_cols = np.zeros(Bp, np.int32)
         a_cols[:B] = slots[idx_a]
         b_cols[:B] = slots[idx_b]
-        stacked = _call_pool(
+        call = _call_pool_swar if swar else _call_pool
+        stacked = call(
             pool_dev,
             jnp.asarray(a_cols),
             jnp.asarray(b_cols),
@@ -408,7 +711,8 @@ def batched_protein_align_pallas(a_codes, b_codes, a_len, b_len,
         # forward text stream: char consumed at lane 0 on step d is b[d-2]
         fwd = np.full((Bp, fwd_w), 255, np.uint8)
         fwd[:B, :N] = b_codes
-        stacked = _call(
+        call = _call_swar if swar else _call
+        stacked = call(
             jnp.asarray(acode),
             jnp.asarray(fwd),
             jnp.asarray(ablen),
