@@ -351,6 +351,21 @@ class RpaEngine:
             else:  # test stubs / simple aligners: resolve inline
                 vals = self.aligner.align_pairs(pairs, shard_ids=shard_ids)
                 finish = lambda: vals  # noqa: E731
+        if self.logsink is not None and self.protein:
+            # protein -l streams the SeqAn alignment art per +ALN line;
+            # stash each logged pair's code arrays on its task (mirror
+            # keys store the SWAPPED orientation: the reference re-aligns
+            # (seg_i, seg_anchor) fresh at each site, so art must render
+            # in the looked-up order, not the computed one)
+            for (ti, key), pr in zip(flat, pairs):
+                t = tasks[ti]
+                if t.art_seqs is None:
+                    t.art_seqs = {}
+                t.art_seqs[key] = pr
+                if key[0] == "s":
+                    t.art_seqs.setdefault(
+                        (key[0], key[2], key[1]), (pr[1], pr[0])
+                    )
         values = yield finish
         for (ti, key), val in zip(flat, values):
             pair_caches[ti][key] = val

@@ -104,6 +104,10 @@ class RpaTask:
         # taxonpredictionmodelsequence.hh — timings are our own)
         self.logging = False
         self.log_lines: List[str] = []
+        # protein -l: {PairKey: (a_codes, b_codes)} filled by the executor
+        # so +ALN lines can stream the SeqAn alignment art the reference
+        # logs (models/alignment_art.py); None outside protein logging
+        self.art_seqs = None
 
     # ------------------------------------------------------------------ logging
     def _log(self, line: str):
@@ -118,12 +122,25 @@ class RpaTask:
         # logsink uses std::fixed setprecision(2) (:347)
         return "%.2f" % float(x)
 
-    def _log_aln(self, tag: str, left: str, right: str, dist, sim, extras: str = ""):
+    def _log_aln(self, tag: str, left: str, right: str, dist, sim,
+                 extras: str = "", key=None):
         self._log(
             f"    {tag}ALN {left} <=> {right}\tdist={self._f2(dist)}; "
             f"sim={self._f2(sim)}{extras}"
         )
-        self._log("")  # the streamed (empty for DNA) alignment + endl
+        self._log_art(key)
+
+    def _log_art(self, key):
+        """The `logsink << alignment << endl` slot after a +ALN line:
+        SeqAn art for protein (reference :534,:637,:783,:803), a single
+        empty line for DNA (the Align object is empty there)."""
+        if self.logging and self.art_seqs is not None and key is not None:
+            seqs = self.art_seqs.get(key)
+            if seqs is not None:
+                from .alignment_art import render_alignment_art
+
+                self.log_lines.extend(render_alignment_art(*seqs))
+        self._log("")  # the trailing std::endl
 
     def _log_stats(self, qrseqname: str, n: int):
         c = self.counters
@@ -518,7 +535,7 @@ class RpaTask:
                         f"qsearchpid={self._f2(qsearchpid)}; "
                         f"qpid={self._f2(float(sim) / self.qrlength)}"
                     )
-                    self._log("")
+                    self._log_art(("q", i, -1))
             else:
                 dist = FLT_MAX
                 sim = f32(rec.identities)
@@ -684,6 +701,7 @@ class RpaTask:
                             f"qsearchscore_cut={qsearchscore_thresh_heuristic}; "
                             f"qpid_cutg={self._f2(qpid_thresh_guarantee)}; "
                             f"qpid_cut_h={self._f2(qpid_thresh_heuristic)}",
+                            key=("s", i, index_anchor),
                         )
 
                     band_data.append((dist, cnode))
@@ -901,6 +919,7 @@ class RpaTask:
                             f"; qsearchscore={self._f2(records[i].score)}; "
                             f"qsearchmatch={records[i].identities}; "
                             f"qpid={self._f2(qpid)}",
+                            key=("s", i, index_anchor),
                         )
                         self.counters["p2"] += 1
                         self.querydistance[i] = dist
@@ -926,6 +945,7 @@ class RpaTask:
                                 f"{self._f2(records[index_anchor].score)}; "
                                 f"qsearchmatch={records[i].identities}; "
                                 f"qpid={self._f2(float(qa_sim) / self.qrlength)}",
+                                key=("q", index_anchor, -1),
                             )
                             self.querydistance[index_anchor] = qa_dist
                             self.querysimilarity[index_anchor] = qa_sim

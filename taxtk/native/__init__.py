@@ -92,6 +92,20 @@ def load() -> Optional[ctypes.CDLL]:
         except AttributeError:  # pragma: no cover - stale .so
             pass
         try:
+            lib.taxtk_protein_nw_traceback.restype = ctypes.c_int
+            lib.taxtk_protein_nw_traceback.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_char_p,
+            ]
+        except AttributeError:  # pragma: no cover - stale .so
+            pass
+        try:
             lib.taxtk_protein_nw_batch.restype = None
             lib.taxtk_protein_nw_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
@@ -191,6 +205,28 @@ def myers_batch(pairs, n_threads: int = 0) -> np.ndarray:
     else:
         lib.taxtk_myers_batch(*args)
     return out
+
+
+def protein_nw_traceback(a: np.ndarray, b: np.ndarray) -> Optional[str]:
+    """SeqAn-exact global-NW traceback column codes (M/X/A/B) for one
+    protein pair (codes over ops.blosum.AA_ORDER); None if the native
+    library is unavailable (callers fall back to the Python DP)."""
+    from ..ops.blosum import BLOSUM62, GAP_SCORE
+
+    lib = load()
+    if lib is None or not hasattr(lib, "taxtk_protein_nw_traceback"):
+        return None
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    sub = np.ascontiguousarray(BLOSUM62, np.int8)
+    out = ctypes.create_string_buffer(len(a) + len(b) + 1)
+    k = lib.taxtk_protein_nw_traceback(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(a),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b),
+        sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        sub.shape[0], GAP_SCORE, out,
+    )
+    return out.raw[:k].decode("ascii")
 
 
 def protein_nw_batch(pairs, n_threads: int = 1) -> np.ndarray:

@@ -90,4 +90,57 @@ void taxtk_protein_nw_batch(const uint8_t* a_data, const int64_t* a_off,
     for (auto& t : ts) t.join();
 }
 
+// Global-NW traceback reproducing SeqAn's gap placement exactly: the
+// reference streams the SeqAn alignment art into the decision log
+// (taxonpredictionmodelsequence.hh:534,:637,:783,:803), and SeqAn's
+// traceback walks with preference diagonal > vertical (consume B,
+// gap in the A row) > horizontal (consume A, gap in the B row) with
+// gaps-left (dp_traceback_impl.h _doTraceback; verified 0/500
+// mismatches against the compiled SeqAn oracle).  Emits one column
+// code per alignment column: M match, X mismatch, A gap-in-A,
+// B gap-in-B.  Returns the column count (out must hold m + n chars).
+int taxtk_protein_nw_traceback(const uint8_t* a, int m, const uint8_t* b,
+                               int n, const int8_t* sub, int alpha,
+                               int gap, char* out) {
+    std::vector<int32_t> S((size_t)(m + 1) * (n + 1));
+    for (int j = 0; j <= n; ++j) S[j] = j * gap;
+    for (int i = 1; i <= m; ++i) {
+        int32_t* row = &S[(size_t)i * (n + 1)];
+        const int32_t* prev = row - (n + 1);
+        row[0] = i * gap;
+        const int8_t* srow = sub + (size_t)a[i - 1] * alpha;
+        for (int j = 1; j <= n; ++j) {
+            int32_t best = prev[j - 1] + srow[b[j - 1]];
+            int32_t v = prev[j] + gap;
+            if (v > best) best = v;
+            int32_t h = row[j - 1] + gap;
+            if (h > best) best = h;
+            row[j] = best;
+        }
+    }
+    int i = m, j = n, k = 0;
+    while (i > 0 || j > 0) {
+        const int32_t s = S[(size_t)i * (n + 1) + j];
+        if (i > 0 && j > 0 &&
+            s == S[(size_t)(i - 1) * (n + 1) + (j - 1)] +
+                     sub[(size_t)a[i - 1] * alpha + b[j - 1]]) {
+            out[k++] = (a[i - 1] == b[j - 1]) ? 'M' : 'X';
+            --i;
+            --j;
+        } else if (j > 0 && s == S[(size_t)i * (n + 1) + (j - 1)] + gap) {
+            out[k++] = 'A';  // consume B alone: gap in the A row
+            --j;
+        } else {
+            out[k++] = 'B';  // consume A alone: gap in the B row
+            --i;
+        }
+    }
+    for (int l = 0; l < k / 2; ++l) {
+        char t = out[l];
+        out[l] = out[k - 1 - l];
+        out[k - 1 - l] = t;
+    }
+    return k;
+}
+
 }  // extern "C"

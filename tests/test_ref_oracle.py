@@ -467,17 +467,15 @@ STRUCTURAL_LOG_PREFIXES = (
     "    *ALN", "      current", "      query:")
 
 
-def test_protein_decision_log_structural_identical(rpa_ref_oracle,
-                                                   tmp_path, monkeypatch,
-                                                   capsys):
-    """Protein -l log: every STRUCTURAL line (decisions, distances,
-    passes, stats) identical to the reference's logsink.  The reference
-    additionally streams SeqAn's multi-line ASCII rendering of each
-    protein alignment into the log (logsink << queryalignment — the
-    Align object is populated only on the protein path,
-    taxonpredictionmodelsequence.hh:238); that is presentation, not
-    decisions, and taxtk intentionally omits it, so the diff is on the
-    structural subset (with STATS CPU-times normalized)."""
+def test_protein_decision_log_byte_identical(rpa_ref_oracle, tmp_path,
+                                             monkeypatch, capsys):
+    """Protein -l log: the FULL log byte-identical to the reference's
+    logsink — including the SeqAn alignment-art blocks the reference
+    streams after every +ALN line (logsink << queryalignment,
+    taxonpredictionmodelsequence.hh:534,:637,:783,:803; replicated by
+    models/alignment_art.py with SeqAn's exact traceback preference and
+    align_base.h _write layout).  STATS CPU-times normalized as in the
+    DNA log test."""
     _require(rpa_ref_oracle)
     corpus = _make_corpus(tmp_path, seed=77, n_queries=24, protein=True,
                           tie_free=True)
@@ -488,15 +486,12 @@ def test_protein_decision_log_structural_identical(rpa_ref_oracle,
     got = _run_taxtk(corpus, ["-b", "protein", "-l", tklog], monkeypatch,
                      capsys)
     assert got == expected
-
-    def structural(path):
-        return _normalize_log("\n".join(
-            l for l in open(path).read().splitlines()
-            if l.startswith(STRUCTURAL_LOG_PREFIXES)))
-
-    ref_lines = structural(reflog)
-    assert structural(tklog) == ref_lines
-    assert "+ALN" in ref_lines and "PASS\t2" in ref_lines
+    ref_log = _normalize_log(open(reflog).read())
+    tk_log = _normalize_log(open(tklog).read())
+    assert tk_log == ref_log
+    # the log actually contains art blocks (match-line pipes + rulers)
+    assert "+ALN" in ref_log and "PASS\t2" in ref_log
+    assert "    .    :" in ref_log and "|" in ref_log
 
 
 def test_inmemory_revcomp_divergence_documented(rpa_ref_oracle, tmp_path,
