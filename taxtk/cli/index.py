@@ -45,6 +45,18 @@ def main(argv=None) -> int:
         FaiIndex.build(refdata).save(fai)
         print(f"built {fai}")
 
+    # snapshot the tool versions this refpack is indexed with — the
+    # classification workflow verifies against them at startup
+    # (pipeline/toolcheck.py; reference analog: contrib/download.tsv pins)
+    from ..pipeline.toolcheck import record_tool_versions
+
+    record_tool_versions(
+        args.refpack,
+        ["makeblastdb", "blastn", "blastp"]
+        if args.kind in ("blast", "blast-protein")
+        else ["lastdb", "lastal"],
+    )
+
     if args.kind in ("blast", "blast-protein"):
         exe = shutil.which("makeblastdb")
         if exe is None:

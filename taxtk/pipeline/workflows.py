@@ -282,6 +282,23 @@ def run_binning_workflow(
     if aligner_kind == "last" and protein:
         raise TaxtkError("the LAST pipeline is nucleotide-only")
     refpack = Refpack(refpack_dir, protein=protein)
+    # version-pin check at workflow start (reference vendors its tools at
+    # pinned versions, contrib/download.tsv; taxtk verifies the PATH
+    # tools against the refpack's index-time record / the manifest and
+    # warns on mismatch — a refpack indexed with one aligner version
+    # must not silently classify with another)
+    if alignments_file is None or orf_call:
+        from .toolcheck import verify_external_tools
+
+        tools = []
+        if alignments_file is None:
+            if aligner_kind == "last":
+                tools.append("lastal")
+            else:
+                tools.append("blastp" if protein else "blastn")
+        if orf_call:
+            tools.append("orfm")
+        verify_external_tools(tools, refpack_dir=refpack_dir)
     os.makedirs(outdir, exist_ok=True)
     tax = refpack.load_taxonomy()
     tax_pruned = tax.prune_to_marked_ranks(DEFAULT_RANKS)
