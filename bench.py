@@ -55,6 +55,18 @@ NREP = 5  # timed reps; report median + IQR
 # and loop overhead assumed FREE: 3.85e12 / (20/32) = ~6.2e3 GCUPS.  No
 # implementation of this algorithm beats it without shrinking the core
 # recurrence itself.
+#
+# Round-5 ATTRIBUTION of the ~31% gap (benchmarks/probe_kernel_ablate.py
+# — the real kernel timed with op groups removed; synthetic-probe SOLs
+# were twice shown unreliable): the kernel runs at 88.9% of its own
+# ESSENTIAL-ONLY variant (harvest ops cost 5.4%, peq selects 6.0%), and
+# the essential-only variant itself reaches only ~67% of this analytic
+# bound — i.e. about a third of the model's assumed issue rate is not
+# sustainable on the serial-carry core even with every non-essential op
+# removed.  The gap is therefore ~11% real auxiliary ops + ~22% model
+# optimism about the carry-bound core, not an unexplained kernel
+# deficiency.  ROOFLINE_GCUPS stays as the (deliberately unreachable)
+# model bound for cross-round comparability.
 ROOFLINE_GCUPS = 6160.0
 
 
