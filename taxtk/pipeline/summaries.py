@@ -143,6 +143,124 @@ def write_html_summary(taxsummary, out: TextIO, sample_name: str):
     )
 
 
+def write_krona_sunburst(taxsummary, out: TextIO, sample_name: str):
+    """Self-contained Krona-STYLE interactive chart: a zoomable radial
+    sunburst (annular sectors per taxonomy level, click a sector to
+    re-root, click the center to zoom out, support/length dataset
+    toggle, hover details) in one HTML file with inline SVG + vanilla
+    JS — no external dependencies, no network.  Functional counterpart
+    of the reference's KronaTools chart (reference:
+    extended/bin/ktImportText + lib/KronaTools.pm); when the real
+    ktImportText is installed, write_krona also renders the original."""
+    import json as _json
+
+    def _node():
+        return {"n": "", "s": 0, "l": 0, "c": {}}
+
+    root = _node()
+    root["n"] = sample_name
+    for path, support, length in taxsummary:
+        node = root
+        node["s"] += support
+        node["l"] += length
+        for part in (path.split(";") if path else []):
+            nxt = node["c"].setdefault(part, _node())
+            nxt["n"] = part
+            nxt["s"] += support
+            nxt["l"] += length
+            node = nxt
+
+    def _strip(n):
+        return {
+            "n": n["n"], "s": n["s"], "l": n["l"],
+            "c": [_strip(v) for _, v in sorted(
+                n["c"].items(), key=lambda kv: -kv[1]["s"])],
+        }
+
+    data = _json.dumps(_strip(root), separators=(",", ":"))
+    title = html.escape(sample_name)
+    out.write("""<!DOCTYPE html><html><head><meta charset='utf-8'>
+<title>""" + title + """ — sunburst</title><style>
+body{font-family:sans-serif;margin:1em;display:flex;gap:2em}
+#chart svg{display:block}
+path.sec{cursor:pointer;stroke:#fff;stroke-width:1}
+path.sec:hover{opacity:.8}
+#side{max-width:22em}
+#crumb{color:#357;margin:.5em 0;min-height:1.2em;font-size:.9em}
+#info{color:#333;font-size:.9em;white-space:pre-line}
+button{margin-right:.5em}
+circle.core{cursor:pointer;fill:#f5f7fa;stroke:#ccd}
+text.ctr{font-size:12px;text-anchor:middle;pointer-events:none}
+</style></head><body>
+<div id='chart'></div>
+<div id='side'><h2>""" + title + """</h2>
+<div><button id='bySup'>by support</button><button id='byLen'>by length</button></div>
+<div id='crumb'></div><div id='info'>click a sector to zoom in; click the center to zoom out</div></div>
+<script>
+const DATA=""" + data + """;
+const W=640,R=W/2,RING=62,CORE=56;
+let metric='s',zoomRoot=DATA,crumbs=[];
+const svgNS='http://www.w3.org/2000/svg';
+function colorOf(i,depth){const h=(i*57)%360;return 'hsl('+h+','+(65-depth*6)+'%,'+(52+depth*5)+'%)';}
+function arcPath(a0,a1,r0,r1){
+ if(a1-a0>=2*Math.PI-1e-6){a1=a0+2*Math.PI-1e-4;}
+ const x=(a,r)=>R+r*Math.cos(a),y=(a,r)=>R+r*Math.sin(a);
+ const big=(a1-a0)>Math.PI?1:0;
+ return 'M'+x(a0,r0)+','+y(a0,r0)+' L'+x(a0,r1)+','+y(a0,r1)+
+  ' A'+r1+','+r1+' 0 '+big+' 1 '+x(a1,r1)+','+y(a1,r1)+
+  ' L'+x(a1,r0)+','+y(a1,r0)+
+  ' A'+r0+','+r0+' 0 '+big+' 0 '+x(a0,r0)+' Z';}
+function render(){
+ const el=document.getElementById('chart');el.innerHTML='';
+ const svg=document.createElementNS(svgNS,'svg');
+ svg.setAttribute('width',W);svg.setAttribute('height',W);
+ const total=zoomRoot[metric]||1;let ci=0;
+ function walk(node,a0,a1,depth){
+  if(depth>0){
+   const p=document.createElementNS(svgNS,'path');
+   p.setAttribute('d',arcPath(a0,a1,CORE+(depth-1)*RING,CORE+depth*RING));
+   p.setAttribute('class','sec');p.setAttribute('fill',colorOf(ci++,depth));
+   const pct=(100*node[metric]/total).toFixed(1);
+   const t=document.createElementNS(svgNS,'title');
+   t.textContent=node.n+'\\n'+node[metric]+(metric=='s'?' support':' bp')+' ('+pct+'%)';
+   p.appendChild(t);
+   p.addEventListener('click',()=>{crumbs.push(zoomRoot);zoomRoot=node;render();});
+   p.addEventListener('mouseenter',()=>{document.getElementById('info').textContent=node.n+'\\n'+node.s+' support / '+node.l+' bp ('+pct+'%)';});
+   svg.appendChild(p);
+   if(a1-a0>0.25&&depth<5){
+    const mid=(a0+a1)/2,r=CORE+(depth-0.5)*RING;
+    const tx=document.createElementNS(svgNS,'text');
+    tx.setAttribute('x',R+r*Math.cos(mid));tx.setAttribute('y',R+r*Math.sin(mid));
+    tx.setAttribute('class','ctr');tx.textContent=node.n.length>14?node.n.slice(0,13)+'…':node.n;
+    svg.appendChild(tx);}
+  }
+  let a=a0;
+  for(const ch of node.c){
+   const span=(a1-a0)*(ch[metric]/(node[metric]||1));
+   if(span>0.002)walk(ch,a,a+span,depth+1);
+   a+=span;}
+ }
+ walk(zoomRoot,-Math.PI/2,3*Math.PI/2,0);
+ const core=document.createElementNS(svgNS,'circle');
+ core.setAttribute('cx',R);core.setAttribute('cy',R);core.setAttribute('r',CORE-4);
+ core.setAttribute('class','core');
+ core.addEventListener('click',()=>{if(crumbs.length){zoomRoot=crumbs.pop();render();}});
+ svg.appendChild(core);
+ const label=document.createElementNS(svgNS,'text');
+ label.setAttribute('x',R);label.setAttribute('y',R+4);label.setAttribute('class','ctr');
+ label.textContent=zoomRoot.n.length>12?zoomRoot.n.slice(0,11)+'…':zoomRoot.n;
+ svg.appendChild(label);
+ el.appendChild(svg);
+ document.getElementById('crumb').textContent=
+  crumbs.map(c=>c.n).concat([zoomRoot.n]).join(' \\u203a ');
+}
+document.getElementById('bySup').addEventListener('click',()=>{metric='s';render();});
+document.getElementById('byLen').addEventListener('click',()=>{metric='l';render();});
+render();
+</script></body></html>
+""")
+
+
 def taxsummary_to_krona_text(taxsummary) -> Tuple[List[str], List[str]]:
     """taxsummary rows -> the two Krona text datasets the reference feeds
     ktImportText (reference: extended/bin/taxsummary2krona:1-15): lines of
@@ -173,6 +291,12 @@ def write_krona(taxsummary, sample_name: str, outdir: str) -> Dict[str, str]:
     with open(p_dat, "w") as fh:
         fh.write("".join(r + "\n" for r in data_rows))
     paths = {"krona_support": p_sup, "krona_data": p_dat}
+    # always render the built-in zoomable sunburst (no deps); the real
+    # KronaTools chart is additionally rendered when installed
+    p_sb = os.path.join(outdir, sample_name + ".sunburst.html")
+    with open(p_sb, "w") as fh:
+        write_krona_sunburst(taxsummary, fh, sample_name)
+    paths["krona_sunburst"] = p_sb
     kt = shutil.which("ktImportText")
     if kt:
         p_html = os.path.join(outdir, sample_name + ".krona.html")

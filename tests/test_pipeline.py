@@ -124,6 +124,30 @@ class TestWorkflow:
             mags = [int(r.split("\t")[0]) for r in rows]
             assert mags == sorted(mags, reverse=True) and mags
             assert sum(mags) == sum(int(l.split("\t")[col]) for l in summary)
+        # built-in zoomable sunburst (Krona-style chart, no deps): valid
+        # self-contained HTML whose embedded tree totals match taxsummary
+        import json as _json
+        import re as _re
+
+        sb = open(paths["krona_sunburst"]).read()
+        assert "<svg" in sb or "createElementNS" in sb
+        m = _re.search(r"const DATA=(\{.*?\});\n", sb, _re.S)
+        assert m, "sunburst data blob missing"
+        tree = _json.loads(m.group(1))
+        assert tree["l"] == total_len  # root length == total contig bp
+        names = set()
+
+        def _walk(n):
+            names.add(n["n"])
+            for c in n["c"]:
+                _walk(c)
+
+        _walk(tree)
+        # every taxsummary path component appears in the tree
+        for line in summary:
+            for part in line.split("\t")[0].split(";"):
+                if part:
+                    assert part in names, part
 
 
 class TestMergeSortFallback:
