@@ -388,11 +388,17 @@ class RpaEngine:
         tp = self.mesh_backend.tp
         per_shard: List[List[tuple]] = [[] for _ in range(tp)]
         for seg, (ti, t) in enumerate(live):
-            dists, sims = t.pass0_table(pair_caches[ti])
-            for i, rec in enumerate(t.records):
-                per_shard[refpack_shard_of(rec.reference_identifier, tp)].append(
-                    (seg, dists[i], sims[i], np.float32(rec.score), i,
-                     rec.reference_node)
+            # vectorized table (models/rpa.py pass0_table_arrays): the
+            # per-record Python loop here was 17-20% of mesh engine time
+            dists, sims, nodes = t.pass0_table_arrays(pair_caches[ti])
+            scores32 = t._native_arrays()[0].astype(np.float32)
+            shards = [
+                refpack_shard_of(rec.reference_identifier, tp)
+                for rec in t.records
+            ]
+            for i, sh in enumerate(shards):
+                per_shard[sh].append(
+                    (seg, dists[i], sims[i], scores32[i], i, int(nodes[i]))
                 )
         out = self.mesh_backend.pass0_merge(per_shard, len(live))
         return {

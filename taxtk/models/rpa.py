@@ -478,6 +478,29 @@ class RpaTask:
         vals = [self.pass0_values(i, cache) for i in range(self.n)]
         return [v[0] for v in vals], [v[1] for v in vals]
 
+    def pass0_table_arrays(self, cache: Dict[PairKey, AlignValue]):
+        """Vectorized pass0_table: (dists f32[n], sims f32[n]) — the
+        per-record Python loop was the dominant cost of the collective
+        merge stage at scale (measured 17-20% of engine time on the
+        8-device virtual mesh; bench_mesh_overhead.py)."""
+        n = self.n
+        exact = np.asarray(self._pass0_exact, bool)
+        aligned = np.asarray(self._pass0_aligned, bool)
+        scores, idents, nodes = self._native_arrays()
+        identsf = idents.astype(np.float32)
+        qdist_c = np.zeros(n, np.float32)
+        qsim_c = np.zeros(n, np.float32)
+        for i in np.flatnonzero(aligned):
+            v = cache[("q", int(i), -1)]
+            qdist_c[i] = v.distance
+            qsim_c[i] = v.similarity
+        dists = np.where(exact, np.float32(0.0),
+                         np.where(aligned, qdist_c, FLT_MAX))
+        sims = np.where(exact, identsf,
+                        np.where(aligned, np.maximum(qsim_c, identsf),
+                                 identsf))
+        return dists, sims, nodes
+
     def replay_pass0(
         self, cache: Dict[PairKey, AlignValue], merged: Optional[dict] = None
     ) -> List[PairKey]:

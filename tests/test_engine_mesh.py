@@ -93,6 +93,11 @@ def test_mesh_dp_rows_are_stable_and_pool_local(tmp_path):
     mesh = make_mesh(8, tp=2)  # dp=4 x tp=2
 
     def run_and_stats():
+        # per-device pools are PROCESS-SHARED (round 5); reset so both
+        # runs start cold and the determinism claim stays well-defined
+        from taxtk.ops import seqpool
+
+        seqpool.reset_shared_pools()
         aligner = BatchAligner(
             "dna", dna_backend="myers-pallas", mesh=mesh,
             pallas_interpret=True,
