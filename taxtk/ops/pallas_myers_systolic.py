@@ -89,7 +89,10 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
         out_ref,    # [SUB, LANE] i32
         pv_ref,     # scratch [KC, SUB, LANE] u32
         mv_ref,     # scratch [KC, SUB, LANE] u32
-        fifo_ref,   # scratch [3 * STAG, SUB, LANE] i32 — (C, PH, MH) FIFO
+        fifo_ref,   # scratch [STAG, SUB, LANE] i32 — PACKED slot FIFO:
+        #             char | PH<<8 | MH<<9 (one lane-roll per char
+        #             instead of three — rolls are cross-lane permutes,
+        #             the per-char tax of this dataflow)
         score_ref,  # scratch [SUB, LANE] i32
         res_ref,    # scratch [SUB, LANE] i32
         hmask_ref,  # scratch [KC, SUB, LANE] u32
@@ -100,7 +103,7 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
         def _init():
             pv_ref[:] = jnp.full((KC, SUB, LANE), 0xFFFFFFFF, jnp.uint32)
             mv_ref[:] = jnp.zeros((KC, SUB, LANE), jnp.uint32)
-            fifo_ref[:] = jnp.zeros((3 * STAG, SUB, LANE), jnp.int32)
+            fifo_ref[:] = jnp.zeros((STAG, SUB, LANE), jnp.int32)
             score_ref[:] = mlen_ref[:]
             res_ref[:] = jnp.maximum(mlen_ref[:], nlen_ref[:])
             kk = mword_ref[:]
@@ -115,25 +118,26 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
         base_j = t * Tc
 
         def one_char(jj, u, pvs, mvs, fifo, score, res):
-            # fifo[u] = (C, PH, MH) produced STAG chars ago — all UNROLL
-            # chars of a trip consume the PREVIOUS trip's slots, so their
-            # carry chains are independent and interleave
-            C_old, PH_old, MH_old = fifo[u]
+            # fifo[u] = packed (char | PH<<8 | MH<<9) produced STAG chars
+            # ago — all UNROLL chars of a trip consume the PREVIOUS
+            # trip's slots, so their carry chains are independent and
+            # interleave.  Packing the slot means ONE roll + ONE select
+            # per char (head lanes insert fresh | PH=1 | MH=0) instead of
+            # three of each; the unpack is plain cheap ALU.
             if bits == 2:
                 packed = text_ref[jj >> 2].astype(jnp.int32)
                 fresh = (packed >> ((jj & 3) * 2)) & 3
             else:
                 packed = text_ref[jj >> 1].astype(jnp.int32)
                 fresh = (packed >> ((jj & 1) * 4)) & 15
-            C = jnp.where(head, fresh, pltpu.roll(C_old, 1, axis=1))
-            ph_in = jnp.where(head, 1, pltpu.roll(PH_old, 1, axis=1))
-            mh_in = jnp.where(head, 0, pltpu.roll(MH_old, 1, axis=1))
+            slot_in = jnp.where(head, fresh | 256,
+                                pltpu.roll(fifo[u], 1, axis=1))
             j = base_j + jj
             jeff1 = (j + 1) - lanek  # completed text positions after char
             enter = jeff1 == 1       # lane's first live step: fresh DP state
-            tc = C
-            carry_ph = ph_in.astype(jnp.uint32)
-            carry_mh = mh_in.astype(jnp.uint32)
+            tc = slot_in & 255
+            carry_ph = ((slot_in >> 8) & 1).astype(jnp.uint32)
+            carry_mh = (slot_in >> 9).astype(jnp.uint32)
             ph_hit = jnp.zeros((SUB, LANE), jnp.uint32)
             mh_hit = jnp.zeros((SUB, LANE), jnp.uint32)
             new_pvs = []
@@ -167,8 +171,9 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
             live = (jeff1 >= 1) & (jeff1 <= n_len)
             score = score + jnp.where(live, delta, 0)
             res = jnp.where(jeff1 == n_len, score, res)
-            slot = (tc, carry_ph.astype(jnp.int32),
-                    carry_mh.astype(jnp.int32))
+            slot = (tc
+                    | jax.lax.shift_left(carry_ph.astype(jnp.int32), 8)
+                    | jax.lax.shift_left(carry_mh.astype(jnp.int32), 9))
             return tuple(new_pvs), tuple(new_mvs), slot, score, res
 
         def stepj(jj, carry):
@@ -184,10 +189,7 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
         carry0 = (
             tuple(pv_ref[k] for k in range(KC)),
             tuple(mv_ref[k] for k in range(KC)),
-            tuple(
-                (fifo_ref[3 * u], fifo_ref[3 * u + 1], fifo_ref[3 * u + 2])
-                for u in range(STAG)
-            ),
+            tuple(fifo_ref[u] for u in range(STAG)),
             score_ref[:],
             res_ref[:],
         )
@@ -198,9 +200,7 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
             pv_ref[k] = pvs[k]
             mv_ref[k] = mvs[k]
         for u in range(STAG):
-            fifo_ref[3 * u] = fifo[u][0]
-            fifo_ref[3 * u + 1] = fifo[u][1]
-            fifo_ref[3 * u + 2] = fifo[u][2]
+            fifo_ref[u] = fifo[u]
         score_ref[:] = score
         res_ref[:] = res
 
@@ -240,7 +240,7 @@ def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
         scratch_shapes=[
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
-            pltpu.VMEM((3 * STAG, SUB, LANE), jnp.int32),
+            pltpu.VMEM((STAG, SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
