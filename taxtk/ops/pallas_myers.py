@@ -748,6 +748,47 @@ def _peq_from_pool(pool, pat_cols, plen_pat, K, bits, kw_rows):
     return _peq_from_codes(pat_u, plen_pat, K, bits)
 
 
+# ---------------------------------------------------------------------------
+# Gathers lower poorly on TPU: a 12.8 MB jnp.take measured 7.4 ms on v5e
+# (benchmarks/probe_systolic_ablate.py found the systolic production entry
+# losing HALF its launch time to its three staging gathers).  Column
+# selection is a matmul with a one-hot matrix, which rides the MXU at
+# int8: out[r, j] = sum_c src[r, c] * (c == idx[j]).  Exact for byte
+# data (0/1 weights), and u32 sources split into 4 byte planes.
+
+
+def _onehot_cols(idx, C):
+    return (jnp.arange(C, dtype=jnp.int32)[:, None]
+            == idx[None, :].astype(jnp.int32)).astype(jnp.int8)
+
+
+def _mxu_take_cols_u8(src, idx):
+    """take(src, idx, axis=1) for int8/uint8 [R, C] via MXU one-hot."""
+    oh = _onehot_cols(idx, src.shape[1])
+    out = jax.lax.dot_general(
+        src.astype(jnp.int8), oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return out.astype(jnp.int8)
+
+
+def _mxu_take_cols_u32(src, idx):
+    """take(src, idx, axis=-1) for uint32 [..., C] via 4 byte-plane
+    one-hot matmuls."""
+    shape = src.shape
+    C = shape[-1]
+    src8 = jax.lax.bitcast_convert_type(src, jnp.uint8)  # [..., C, 4]
+    src8 = jnp.moveaxis(src8, -1, 0).reshape(4, -1, C)   # [4, R, C]
+    oh = _onehot_cols(idx, C)
+    out = jax.lax.dot_general(
+        src8.astype(jnp.int8), oh, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [4, R, J]
+    out = out.astype(jnp.uint32) & jnp.uint32(0xFF)
+    res = (out[0] | (out[1] << 8) | (out[2] << 16) | (out[3] << 24))
+    return res.reshape(shape[:-1] + (idx.shape[0],))
+
+
 @functools.partial(jax.jit, static_argnames=("K", "bits"))
 def _peq_from_codes(pat_u, plen_pat, K, bits):
     """Device-side peq builder: packed pattern codes [K*WORD*bits//8, Up]

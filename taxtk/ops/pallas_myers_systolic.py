@@ -380,6 +380,17 @@ def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
         .transpose(1, 2, 0, 3)
         .reshape(KC, ALPHA, nbmax * B1)
     )
+    # NOTE round-5: probe_systolic_ablate.py attributes ~half the
+    # production launch time to this staging block (kernel body alone
+    # ~1.6 T padded at 16x50k vs ~0.8-1.0 T through the entry).  BOTH
+    # attempted reformulations measured WORSE in-session and were
+    # reverted: (a) MXU one-hot int8 matmul gathers -> 434 GCUPS at
+    # 16x50k (2.3x regression; helpers kept in pallas_myers for the
+    # record); (b) broadcast+reshape byte expansion inside
+    # _peq_from_codes -> ~590 (1.7x; the reshape forces a relayout).
+    # The native take lowering is the best formulation tested; the
+    # remaining staging cost would need the gathers fused INTO the
+    # kernel to disappear.
     peq = jnp.take(peq_flat, peq_col, axis=2).reshape(KC, ALPHA, S, LANE)
     text = jnp.take(
         text_u[:nbytes], txt_col, axis=1
