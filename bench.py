@@ -540,7 +540,8 @@ def _bench_protein_kernel(platform):
             # DNA metric's 16x137ms rounds do
             CHAIN = 128
             gc = []
-            for _ in range(5):
+            for _ in range(7):  # 7 reps: single bad tunnel windows moved
+                #                 the 5-rep median by 35% (round-5 capture)
                 t0 = _t.time()
                 outs = [pp._call(*d_args, *statics) for _ in range(CHAIN)]
                 _chk = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
