@@ -12,7 +12,7 @@ state bit-for-bit; the reference-code oracle suite pins the GFF3.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
