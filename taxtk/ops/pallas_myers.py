@@ -57,6 +57,28 @@ def _pow2(x: int) -> int:
     return n
 
 
+def _quant_chunks(n: int) -> int:
+    """Round a text-chunk count up to {4,5,6,7}*2^e (quarter-octave).
+
+    The chunk count is a jit static, so every value is one compiled
+    variant — but the kernel RUNS every padded chunk, and pow2 rounding
+    wastes up to ~2x steps (measured on chip at 16x50kbp systolic: 128
+    chunks padded vs 99 needed cost 12.6% wall, /tmp probe_stage_attr
+    round 5).  Quarter-octave keeps the pad <= 25% (mean ~11%) for ~3x
+    the ladder points; compiles persist across processes via the jax
+    compilation cache (ops/__init__), so the extra points are one-time.
+    """
+    if n <= 4:
+        return n
+    e = max(0, n.bit_length() - 3)
+    while (7 << e) < n:
+        e += 1
+    for m in (4, 5, 6, 7):
+        if (m << e) >= n:
+            return m << e
+    raise AssertionError("unreachable")
+
+
 def _pack_text(text, N, B, Np, Bp, n_tiles, SUB, bits=4):
     """[N, B] u8 codes (sentinel 31) -> [Np*bits//8, tiles*SUB, LANE] i8
     with 2 (bits=4) or 4 (bits=2) codes per byte, lowest field = even text
@@ -489,7 +511,7 @@ def batched_edit_distance_pallas_myers_long(
     Tc += (-Tc) % 4  # packed text stores up to four positions per byte
     n_chunks = max(1, -(-N // Tc))
     if not interpret:
-        n_chunks = _pow2(n_chunks)
+        n_chunks = _quant_chunks(n_chunks)
     Np = n_chunks * Tc
 
     def tile_pairs(arr, fill, dtype):
@@ -965,7 +987,7 @@ def batched_edit_distance_pallas_myers(
     Tc += (-Tc) % 4  # packed text stores up to four positions per byte
     n_chunks = max(1, -(-N // Tc))
     if not interpret:
-        n_chunks = _pow2(n_chunks)
+        n_chunks = _quant_chunks(n_chunks)  # no-op for the pow2 buckets
     Np = n_chunks * Tc
 
     # reshape/pad to tiled layouts

@@ -53,6 +53,7 @@ from .pallas_myers import (
     _pack_text_pool,
     _peq_from_codes,
     _pow2,
+    _quant_chunks,
 )
 
 # pattern words per block (1024 bp): measured 16x50kbp on chip — KC=32
@@ -335,7 +336,7 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
     steps_needed = int((n_len + STAG * (nb - 1)).max(initial=0)) + 1
     n_chunks = max(1, -(-steps_needed // Tc))
     if not interpret:
-        n_chunks = _pow2(n_chunks)
+        n_chunks = _quant_chunks(n_chunks)  # quarter-octave: pad <= 25%
     Np = n_chunks * Tc
 
     # pow2-quantize the jit static dims (pool column count, block count)

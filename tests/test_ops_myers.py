@@ -414,3 +414,22 @@ def test_systolic_pool_height_ratchet():
     assert got2.tolist() == exp[2:]
     assert len(cache.pools) == n_classes  # no new class
     assert cache.misses == m0  # zero re-ships
+
+
+def test_quant_chunks_ladder():
+    """Quarter-octave chunk quantizer: exact <= 4, round-up, pad <= 25%,
+    idempotent, and never below the needed count."""
+    from taxtk.ops.pallas_myers import _quant_chunks
+
+    for n in range(1, 5):
+        assert _quant_chunks(n) == n
+    for n in list(range(5, 600)) + [1023, 1025, 4097]:
+        q = _quant_chunks(n)
+        assert q >= n
+        assert q / n <= 1.25
+        assert _quant_chunks(q) == q  # ladder points are fixed points
+        # ladder membership: m * 2^e with m in {4,5,6,7}
+        m = q
+        while m % 2 == 0 and m > 7:
+            m //= 2
+        assert m in (4, 5, 6, 7)
