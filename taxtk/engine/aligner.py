@@ -107,9 +107,19 @@ class BatchAligner:
         self.protein_backend = protein_backend or _default_protein_backend()
         # cap on batch * M * N cells per launch to bound device memory
         self.max_batch_cells = max_batch_cells
-        # patterns longer than this (both sides long) go to the native host
-        # Myers: their peq tables would not fit the VMEM window
-        self.long_pattern_threshold = 6144
+        # patterns longer than this leave the per-pow2-bucket short path.
+        # XLA backend: 6144 = its VMEM-bound single-launch cap (beyond ->
+        # host).  Pallas backend: 2048 = the single-launch kernel's
+        # CHUNK_KC cap — the short entry would redirect such pairs to the
+        # chunked kernel anyway, but as isolated cell-budget chunks padded
+        # to the 1024-lane tile (measured 6-25% lane fill on the config-4
+        # surrogate); routing them into the sorted long stream instead
+        # lets the slot-packed systolic kernel batch them densely
+        from ..ops.pallas_myers import CHUNK_KC, WORD
+
+        self.long_pattern_threshold = (
+            CHUNK_KC * WORD if self.dna_backend == "myers-pallas" else 6144
+        )
         # chunked-kernel caps (see ops/pallas_myers.py): patterns up to
         # 96kbp / texts up to 256kbp stay on device; beyond -> host C++
         from ..ops.pallas_myers import LONG_PATTERN_CAP, LONG_TEXT_CAP
@@ -117,9 +127,14 @@ class BatchAligner:
         self.tpu_long_pattern_cap = LONG_PATTERN_CAP
         self.tpu_long_text_cap = LONG_TEXT_CAP
         # long chunks below this pair count route to the block-systolic
-        # kernel (lane fill = pairs x blocks); at/above it the pair-tile
-        # chunked kernel fills its 1024-lane tiles on its own
-        self.systolic_max_pairs = 512
+        # kernel.  Round-5 measurement: the systolic path wins at EVERY
+        # pair count, not just small rounds — the pair-tile chunked kernel
+        # runs uniform [Bp, Kp, Np] launches whose fill over the sorted
+        # config-4 stream measured 24.9% (ragged pattern/text lengths
+        # inside each 1024-pair cut), while slot packing holds ~60%:
+        # interleaved e2e A/B 8,620 -> 13,572 Mbp/h, GFF3 byte-identical.
+        # The chunked kernel remains as the oversized-round fallback.
+        self.systolic_max_pairs = 1 << 30
         self.pairs_aligned = 0
         self.cells_computed = 0
         self.stage_seconds = {}  # per-phase accounting (kernel vs staging)

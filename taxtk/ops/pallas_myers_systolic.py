@@ -68,7 +68,7 @@ STAG = 4  # inter-block stagger in text steps (== UNROLL, see below)
 
 
 def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
-                          bits: int = 4):
+                          bits: int = 4, early_stop: bool = True):
     # UNROLL == STAG: block k runs STAG text steps behind block k-1, so
     # the carries a char consumes were produced STAG chars earlier — all
     # chars within one unrolled trip read LAST trip's FIFO slots and are
@@ -97,6 +97,7 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
         score_ref,  # scratch [SUB, LANE] i32
         res_ref,    # scratch [SUB, LANE] i32
         hmask_ref,  # scratch [KC, SUB, LANE] u32
+        smax_ref,   # scratch [1, 1] i32 SMEM — tile's last live step + 1
     ):
         t = pl.program_id(1)
 
@@ -112,102 +113,122 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
             bit = one << mbit_ref[:].astype(jnp.uint32)
             for k in range(KC):
                 hmask_ref[k] = jnp.where(kk == k, bit, jnp.uint32(0))
+            # per-TILE early stop: slot (lane) k's last live text step is
+            # j = n_len + lanek - 1, so chunks starting at or beyond
+            # max(n_len + lanek) have no live lane in this tile and are
+            # skipped wholesale.  n_chunks is sized by the LAUNCH max;
+            # the row packer fills rows in descending block-count order,
+            # so tiles hold similar-length pairs and short tiles stop
+            # early (measured config-4 stream: launch-wide fill 57.8% ->
+            # 82.3% with per-tile stops, sim on captured launch lengths)
+            smax_ref[0, 0] = jnp.max(nlen_ref[:] + lanek_ref[:])
 
-        head = head_ref[:] == 1
-        lanek = lanek_ref[:]  # pre-scaled: STAG * block index
-        n_len = nlen_ref[:]
         base_j = t * Tc
+        # per-tile early stop (see _init): skip chunks past this tile's
+        # last live step; early_stop=False compiles the unconditional
+        # body (A/B falsification hook)
+        _gate = (
+            pl.when(base_j < smax_ref[0, 0]) if early_stop
+            else (lambda f: f())
+        )
 
-        def one_char(jj, u, pvs, mvs, fifo, score, res):
-            # fifo[u] = packed (char | PH<<8 | MH<<9) produced STAG chars
-            # ago — all UNROLL chars of a trip consume the PREVIOUS
-            # trip's slots, so their carry chains are independent and
-            # interleave.  Packing the slot means ONE roll + ONE select
-            # per char (head lanes insert fresh | PH=1 | MH=0) instead of
-            # three of each; the unpack is plain cheap ALU.
-            if bits == 2:
-                packed = text_ref[jj >> 2].astype(jnp.int32)
-                fresh = (packed >> ((jj & 3) * 2)) & 3
-            else:
-                packed = text_ref[jj >> 1].astype(jnp.int32)
-                fresh = (packed >> ((jj & 1) * 4)) & 15
-            slot_in = jnp.where(head, fresh | 256,
-                                pltpu.roll(fifo[u], 1, axis=1))
-            j = base_j + jj
-            jeff1 = (j + 1) - lanek  # completed text positions after char
-            enter = jeff1 == 1       # lane's first live step: fresh DP state
-            tc = slot_in & 255
-            carry_ph = ((slot_in >> 8) & 1).astype(jnp.uint32)
-            carry_mh = (slot_in >> 9).astype(jnp.uint32)
-            ph_hit = jnp.zeros((SUB, LANE), jnp.uint32)
-            mh_hit = jnp.zeros((SUB, LANE), jnp.uint32)
-            new_pvs = []
-            new_mvs = []
+        @_gate
+        def _compute():
+            head = head_ref[:] == 1
+            lanek = lanek_ref[:]  # pre-scaled: STAG * block index
+            n_len = nlen_ref[:]
+
+            def one_char(jj, u, pvs, mvs, fifo, score, res):
+                # fifo[u] = packed (char | PH<<8 | MH<<9) produced STAG
+                # chars ago — all UNROLL chars of a trip consume the
+                # PREVIOUS trip's slots, so their carry chains are
+                # independent and interleave.  Packing the slot means ONE
+                # roll + ONE select per char (head lanes insert fresh |
+                # PH=1 | MH=0) instead of three of each; the unpack is
+                # plain cheap ALU.
+                if bits == 2:
+                    packed = text_ref[jj >> 2].astype(jnp.int32)
+                    fresh = (packed >> ((jj & 3) * 2)) & 3
+                else:
+                    packed = text_ref[jj >> 1].astype(jnp.int32)
+                    fresh = (packed >> ((jj & 1) * 4)) & 15
+                slot_in = jnp.where(head, fresh | 256,
+                                    pltpu.roll(fifo[u], 1, axis=1))
+                j = base_j + jj
+                jeff1 = (j + 1) - lanek  # completed text positions
+                enter = jeff1 == 1       # first live step: fresh DP state
+                tc = slot_in & 255
+                carry_ph = ((slot_in >> 8) & 1).astype(jnp.uint32)
+                carry_mh = (slot_in >> 9).astype(jnp.uint32)
+                ph_hit = jnp.zeros((SUB, LANE), jnp.uint32)
+                mh_hit = jnp.zeros((SUB, LANE), jnp.uint32)
+                new_pvs = []
+                new_mvs = []
+                for k in range(KC):
+                    eq0 = peq_ref[k, 0]
+                    for c in range(1, 4 if bits == 2 else ALPHA):
+                        eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
+                    if bits != 2:  # 2-bit codes are always < ALPHA
+                        eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
+                    pv_k = jnp.where(enter, jnp.uint32(0xFFFFFFFF), pvs[k])
+                    mv_k = jnp.where(enter, jnp.uint32(0), mvs[k])
+                    eq = eq0 | carry_mh
+                    xv = eq | mv_k
+                    add = (eq & pv_k) + pv_k
+                    xh = (add ^ pv_k) | eq
+                    ph = mv_k | ~(xh | pv_k)
+                    mh = pv_k & xh
+                    hm = hmask_ref[k]
+                    ph_hit = ph_hit | (ph & hm)
+                    mh_hit = mh_hit | (mh & hm)
+                    ph_shift = (ph << 1) | carry_ph
+                    mh_shift = (mh << 1) | carry_mh
+                    carry_ph = ph >> 31
+                    carry_mh = mh >> 31
+                    new_pvs.append(mh_shift | ~(xv | ph_shift))
+                    new_mvs.append(ph_shift & xv)
+                delta = (ph_hit != 0).astype(jnp.int32) - (
+                    mh_hit != 0
+                ).astype(jnp.int32)
+                live = (jeff1 >= 1) & (jeff1 <= n_len)
+                score = score + jnp.where(live, delta, 0)
+                res = jnp.where(jeff1 == n_len, score, res)
+                slot = (tc
+                        | jax.lax.shift_left(carry_ph.astype(jnp.int32), 8)
+                        | jax.lax.shift_left(carry_mh.astype(jnp.int32), 9))
+                return tuple(new_pvs), tuple(new_mvs), slot, score, res
+
+            def stepj(jj, carry):
+                pvs, mvs, fifo, score, res = carry
+                new_fifo = list(fifo)
+                for u in range(UNROLL):
+                    pvs, mvs, slot, score, res = one_char(
+                        jj * UNROLL + u, u, pvs, mvs, fifo, score, res
+                    )
+                    new_fifo[u] = slot
+                return (pvs, mvs, tuple(new_fifo), score, res)
+
+            carry0 = (
+                tuple(pv_ref[k] for k in range(KC)),
+                tuple(mv_ref[k] for k in range(KC)),
+                tuple(fifo_ref[u] for u in range(STAG)),
+                score_ref[:],
+                res_ref[:],
+            )
+            pvs, mvs, fifo, score, res = jax.lax.fori_loop(
+                0, Tc // UNROLL, stepj, carry0
+            )
             for k in range(KC):
-                eq0 = peq_ref[k, 0]
-                for c in range(1, 4 if bits == 2 else ALPHA):
-                    eq0 = jnp.where(tc == c, peq_ref[k, c], eq0)
-                if bits != 2:  # 2-bit codes are always < ALPHA
-                    eq0 = jnp.where(tc >= ALPHA, jnp.uint32(0), eq0)
-                pv_k = jnp.where(enter, jnp.uint32(0xFFFFFFFF), pvs[k])
-                mv_k = jnp.where(enter, jnp.uint32(0), mvs[k])
-                eq = eq0 | carry_mh
-                xv = eq | mv_k
-                add = (eq & pv_k) + pv_k
-                xh = (add ^ pv_k) | eq
-                ph = mv_k | ~(xh | pv_k)
-                mh = pv_k & xh
-                hm = hmask_ref[k]
-                ph_hit = ph_hit | (ph & hm)
-                mh_hit = mh_hit | (mh & hm)
-                ph_shift = (ph << 1) | carry_ph
-                mh_shift = (mh << 1) | carry_mh
-                carry_ph = ph >> 31
-                carry_mh = mh >> 31
-                new_pvs.append(mh_shift | ~(xv | ph_shift))
-                new_mvs.append(ph_shift & xv)
-            delta = (ph_hit != 0).astype(jnp.int32) - (
-                mh_hit != 0
-            ).astype(jnp.int32)
-            live = (jeff1 >= 1) & (jeff1 <= n_len)
-            score = score + jnp.where(live, delta, 0)
-            res = jnp.where(jeff1 == n_len, score, res)
-            slot = (tc
-                    | jax.lax.shift_left(carry_ph.astype(jnp.int32), 8)
-                    | jax.lax.shift_left(carry_mh.astype(jnp.int32), 9))
-            return tuple(new_pvs), tuple(new_mvs), slot, score, res
-
-        def stepj(jj, carry):
-            pvs, mvs, fifo, score, res = carry
-            new_fifo = list(fifo)
-            for u in range(UNROLL):
-                pvs, mvs, slot, score, res = one_char(
-                    jj * UNROLL + u, u, pvs, mvs, fifo, score, res
-                )
-                new_fifo[u] = slot
-            return (pvs, mvs, tuple(new_fifo), score, res)
-
-        carry0 = (
-            tuple(pv_ref[k] for k in range(KC)),
-            tuple(mv_ref[k] for k in range(KC)),
-            tuple(fifo_ref[u] for u in range(STAG)),
-            score_ref[:],
-            res_ref[:],
-        )
-        pvs, mvs, fifo, score, res = jax.lax.fori_loop(
-            0, Tc // UNROLL, stepj, carry0
-        )
-        for k in range(KC):
-            pv_ref[k] = pvs[k]
-            mv_ref[k] = mvs[k]
-        for u in range(STAG):
-            fifo_ref[u] = fifo[u]
-        score_ref[:] = score
-        res_ref[:] = res
+                pv_ref[k] = pvs[k]
+                mv_ref[k] = mvs[k]
+            for u in range(STAG):
+                fifo_ref[u] = fifo[u]
+            score_ref[:] = score
+            res_ref[:] = res
 
         @pl.when(t == n_chunks - 1)
         def _emit():
-            out_ref[:] = res
+            out_ref[:] = res_ref[:]
 
     return kernel
 
@@ -215,12 +236,12 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
-                     "bits"),
+                     "bits", "early_stop"),
 )
 def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
                    KC, Tc, n_chunks, n_tiles, SUB, interpret=False,
-                   bits=4):
-    kernel = _make_systolic_kernel(KC, Tc, n_chunks, SUB, bits)
+                   bits=4, early_stop=True):
+    kernel = _make_systolic_kernel(KC, Tc, n_chunks, SUB, bits, early_stop)
     B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
     bspec = pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0),
                          memory_space=pltpu.VMEM)
@@ -245,6 +266,7 @@ def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
+            pltpu.SMEM((1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -365,7 +387,7 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
 def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                 lanek, nlen, mword, mbit, mlen,
                 KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret,
-                bits):
+                bits, early_stop=True):
     """Device-side staging: build peq planes from packed pattern codes
     (_peq_from_codes, the round-2 device builder), gather (pair, block)
     columns into the slot-lane layout, expand the text stream to head
@@ -399,34 +421,34 @@ def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
     return _call_systolic(
         peq, text, head, lanek, nlen, mword, mbit, mlen,
         KC=KC, Tc=Tc, n_chunks=n_chunks, n_tiles=n_tiles, SUB=SUB,
-        interpret=interpret, bits=bits,
+        interpret=interpret, bits=bits, early_stop=early_stop,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
-                     "SUB", "interpret", "bits"),
+                     "SUB", "interpret", "bits", "early_stop"),
 )
 def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                     lanek, nlen, mword, mbit, mlen,
                     KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                    interpret=False, bits=4):
+                    interpret=False, bits=4, early_stop=True):
     return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                        lanek, nlen, mword, mbit, mlen,
                        KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                       interpret, bits)
+                       interpret, bits, early_stop)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
-                     "SUB", "interpret", "bits"),
+                     "SUB", "interpret", "bits", "early_stop"),
 )
 def _stage_and_call_pool(pool, pat_cols, txt_cols, plen_pat, peq_col,
                          txt_col, head, lanek, nlen, mword, mbit, mlen,
                          KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                         interpret=False, bits=4):
+                         interpret=False, bits=4, early_stop=True):
     """Pool front end: per-pair pattern/text code columns gathered from
     the CROSS-ROUND device-resident pool (ops/seqpool.py) — the round's
     H2D is just the rows not yet on device (pass-1/2 re-alignments are
@@ -438,14 +460,14 @@ def _stage_and_call_pool(pool, pat_cols, txt_cols, plen_pat, peq_col,
     return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
                        lanek, nlen, mword, mbit, mlen,
                        KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                       interpret, bits)
+                       interpret, bits, early_stop)
 
 
 def batched_edit_distance_systolic(
     a_codes, b_codes, a_len, b_len,
     text_chunk: int = 512, interpret: bool = False,
     block_words: int = DEFAULT_KC, sub_tile: int = DEFAULT_SUB,
-    lazy: bool = False, pool_cache=None,
+    lazy: bool = False, pool_cache=None, early_stop: bool = True,
 ):
     """Exact batched global edit distance via the block-systolic kernel.
     Drop-in contract of batched_edit_distance_pallas_myers_long; best in
@@ -493,6 +515,7 @@ def batched_edit_distance_systolic(
     statics = dict(
         KC=KC, nbmax=nbmax, B1=B1, Tc=Tc, n_chunks=n_chunks,
         n_tiles=n_tiles, SUB=SUB, interpret=interpret, bits=bits,
+        early_stop=early_stop,
     )
     if pool_cache is not None:
         from .pallas_myers import _dedupe_pool
