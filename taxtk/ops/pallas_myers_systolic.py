@@ -68,7 +68,7 @@ STAG = 4  # inter-block stagger in text steps (== UNROLL, see below)
 
 
 def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
-                          bits: int = 4, early_stop: bool = True):
+                          bits: int = 4):
     # UNROLL == STAG: block k runs STAG text steps behind block k-1, so
     # the carries a char consumes were produced STAG chars earlier — all
     # chars within one unrolled trip read LAST trip's FIFO slots and are
@@ -79,6 +79,7 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
     UNROLL = STAG
 
     def kernel(
+        tlast_ref,  # scalar-prefetch [n_tiles] i32 — last live chunk/tile
         peq_ref,    # [KC, ALPHA, SUB, LANE] u32 — per-slot block peq
         text_ref,   # [Tc//2, SUB, LANE] i8 — pair chars at HEAD lanes
         head_ref,   # [SUB, LANE] i32 — 1 at each pair's block-0 lane
@@ -97,7 +98,6 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
         score_ref,  # scratch [SUB, LANE] i32
         res_ref,    # scratch [SUB, LANE] i32
         hmask_ref,  # scratch [KC, SUB, LANE] u32
-        smax_ref,   # scratch [1, 1] i32 SMEM — tile's last live step + 1
     ):
         t = pl.program_id(1)
 
@@ -113,26 +113,21 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
             bit = one << mbit_ref[:].astype(jnp.uint32)
             for k in range(KC):
                 hmask_ref[k] = jnp.where(kk == k, bit, jnp.uint32(0))
-            # per-TILE early stop: slot (lane) k's last live text step is
-            # j = n_len + lanek - 1, so chunks starting at or beyond
-            # max(n_len + lanek) have no live lane in this tile and are
-            # skipped wholesale.  n_chunks is sized by the LAUNCH max;
-            # the row packer fills rows in descending block-count order,
-            # so tiles hold similar-length pairs and short tiles stop
-            # early (measured config-4 stream: launch-wide fill 57.8% ->
-            # 82.3% with per-tile stops, sim on captured launch lengths)
-            smax_ref[0, 0] = jnp.max(nlen_ref[:] + lanek_ref[:])
 
         base_j = t * Tc
-        # per-tile early stop (see _init): skip chunks past this tile's
-        # last live step; early_stop=False compiles the unconditional
-        # body (A/B falsification hook)
-        _gate = (
-            pl.when(base_j < smax_ref[0, 0]) if early_stop
-            else (lambda f: f())
-        )
 
-        @_gate
+        # per-TILE early stop: slot (lane) k of a pair is live only for
+        # text steps j < n_len + lanek, so chunks past the tile max have
+        # no live lane and skip the whole body.  tlast (host-computed,
+        # scalar-prefetched) is the tile's last live chunk; the text
+        # BlockSpec index map clamps to it, so skipped grid cells
+        # REVISIT the same block and the pipeline skips their DMA too.
+        # n_chunks is sized by the LAUNCH max; the row packer fills rows
+        # in descending block-count order, so tiles hold similar-length
+        # pairs and short tiles stop early (config-4 stream sim:
+        # launch-wide fill 57.8% -> 82.3%; early_stop=False is a pure
+        # data knob — tlast = n_chunks-1 — same compiled kernel)
+        @pl.when(t <= tlast_ref[pl.program_id(0)])
         def _compute():
             head = head_ref[:] == 1
             lanek = lanek_ref[:]  # pre-scaled: STAG * block index
@@ -236,25 +231,26 @@ def _make_systolic_kernel(KC: int, Tc: int, n_chunks: int, SUB: int,
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "Tc", "n_chunks", "n_tiles", "SUB", "interpret",
-                     "bits", "early_stop"),
+                     "bits"),
 )
-def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
+def _call_systolic(tlast, peq, text, head, lanek, nlen, mword, mbit, mlen,
                    KC, Tc, n_chunks, n_tiles, SUB, interpret=False,
-                   bits=4, early_stop=True):
-    kernel = _make_systolic_kernel(KC, Tc, n_chunks, SUB, bits, early_stop)
+                   bits=4):
+    kernel = _make_systolic_kernel(KC, Tc, n_chunks, SUB, bits)
     B2 = jax.ShapeDtypeStruct((n_tiles * SUB, LANE), jnp.int32)
-    bspec = pl.BlockSpec((SUB, LANE), lambda p, t: (p, 0),
+    bspec = pl.BlockSpec((SUB, LANE), lambda p, t, tl: (p, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        out_shape=B2,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles, n_chunks),
-        interpret=interpret,
         in_specs=[
-            pl.BlockSpec((KC, ALPHA, SUB, LANE), lambda p, t: (0, 0, p, 0),
+            pl.BlockSpec((KC, ALPHA, SUB, LANE),
+                         lambda p, t, tl: (0, 0, p, 0),
                          memory_space=pltpu.VMEM),
+            # clamp to the tile's last live chunk: skipped cells revisit
+            # the same text block, so their DMA is elided as well
             pl.BlockSpec((Tc * bits // 8, SUB, LANE),
-                         lambda p, t: (t, p, 0),
+                         lambda p, t, tl: (jnp.minimum(t, tl[p]), p, 0),
                          memory_space=pltpu.VMEM),
             bspec, bspec, bspec, bspec, bspec, bspec,
         ],
@@ -266,12 +262,17 @@ def _call_systolic(peq, text, head, lanek, nlen, mword, mbit, mlen,
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((SUB, LANE), jnp.int32),
             pltpu.VMEM((KC, SUB, LANE), jnp.uint32),
-            pltpu.SMEM((1, 1), jnp.int32),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=B2,
+        grid_spec=grid_spec,
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(peq, text, head, lanek, nlen, mword, mbit, mlen)
+    )(tlast, peq, text, head, lanek, nlen, mword, mbit, mlen)
 
 
 def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
@@ -361,6 +362,13 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
         n_chunks = _quant_chunks(n_chunks)  # quarter-octave: pad <= 25%
     Np = n_chunks * Tc
 
+    # per-tile last live chunk (scalar-prefetch early stop): a slot is
+    # live for steps j < n_len + lanek
+    smax_lane = nlen_l + lanek
+    smax_tile = smax_lane.reshape(n_tiles, SUB * LANE).max(axis=1)
+    tlast = np.clip(-(-smax_tile // Tc) - 1, 0, n_chunks - 1).astype(
+        np.int32)
+
     # pow2-quantize the jit static dims (pool column count, block count)
     # so the compiled-stage ladder stays bounded across ragged rounds;
     # pad columns are all-0xFF with plen 0 (zero peq planes)
@@ -379,15 +387,15 @@ def _pack_systolic(a_codes, b_codes, a_len, b_len, KC, SUB, Tc,
         pat_u=pat_u, text_u=text_u, plen_pat=plen_pat,
         peq_col=peq_col.reshape(-1), txt_col=txt_col.reshape(-1),
         head=head, lanek=lanek, nlen=nlen_l, mword=mword, mbit=mbit,
-        mlen=mlen_l,
+        mlen=mlen_l, tlast=tlast,
     )
     return inputs, last_slot, (n_tiles, n_chunks, Np, nbmax)
 
 
-def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
+def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, tlast, head,
                 lanek, nlen, mword, mbit, mlen,
                 KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB, interpret,
-                bits, early_stop=True):
+                bits):
     """Device-side staging: build peq planes from packed pattern codes
     (_peq_from_codes, the round-2 device builder), gather (pair, block)
     columns into the slot-lane layout, expand the text stream to head
@@ -419,36 +427,36 @@ def _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
         text_u[:nbytes], txt_col, axis=1
     ).reshape(nbytes, S, LANE)
     return _call_systolic(
-        peq, text, head, lanek, nlen, mword, mbit, mlen,
+        tlast, peq, text, head, lanek, nlen, mword, mbit, mlen,
         KC=KC, Tc=Tc, n_chunks=n_chunks, n_tiles=n_tiles, SUB=SUB,
-        interpret=interpret, bits=bits, early_stop=early_stop,
+        interpret=interpret, bits=bits,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
-                     "SUB", "interpret", "bits", "early_stop"),
+                     "SUB", "interpret", "bits"),
 )
-def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, head,
+def _stage_and_call(pat_u, text_u, plen_pat, peq_col, txt_col, tlast, head,
                     lanek, nlen, mword, mbit, mlen,
                     KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                    interpret=False, bits=4, early_stop=True):
-    return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
-                       lanek, nlen, mword, mbit, mlen,
+                    interpret=False, bits=4):
+    return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, tlast,
+                       head, lanek, nlen, mword, mbit, mlen,
                        KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                       interpret, bits, early_stop)
+                       interpret, bits)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("KC", "nbmax", "B1", "Tc", "n_chunks", "n_tiles",
-                     "SUB", "interpret", "bits", "early_stop"),
+                     "SUB", "interpret", "bits"),
 )
 def _stage_and_call_pool(pool, pat_cols, txt_cols, plen_pat, peq_col,
-                         txt_col, head, lanek, nlen, mword, mbit, mlen,
-                         KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                         interpret=False, bits=4, early_stop=True):
+                         txt_col, tlast, head, lanek, nlen, mword, mbit,
+                         mlen, KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
+                         interpret=False, bits=4):
     """Pool front end: per-pair pattern/text code columns gathered from
     the CROSS-ROUND device-resident pool (ops/seqpool.py) — the round's
     H2D is just the rows not yet on device (pass-1/2 re-alignments are
@@ -457,10 +465,10 @@ def _stage_and_call_pool(pool, pat_cols, txt_cols, plen_pat, peq_col,
     cpb = 8 // bits
     pat_u = jnp.take(pool[: nbmax * KC * WORD // cpb], pat_cols, axis=1)
     text_u = jnp.take(pool[: Np // cpb], txt_cols, axis=1)
-    return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, head,
-                       lanek, nlen, mword, mbit, mlen,
+    return _stage_core(pat_u, text_u, plen_pat, peq_col, txt_col, tlast,
+                       head, lanek, nlen, mword, mbit, mlen,
                        KC, nbmax, B1, Tc, n_chunks, n_tiles, SUB,
-                       interpret, bits, early_stop)
+                       interpret, bits)
 
 
 def batched_edit_distance_systolic(
@@ -505,9 +513,13 @@ def batched_edit_distance_systolic(
         a_codes, b_codes, a_len, b_len, KC, SUB, Tc, interpret,
         build_pools=pool_cache is None, bits=bits)
     B1 = _pow2(B + 1)
+    tlast_arr = inputs["tlast"]
+    if not early_stop:  # falsification arm: same compiled kernel,
+        tlast_arr = np.full_like(tlast_arr, n_chunks - 1)  # no stops
     meta = (
         jnp.asarray(inputs["plen_pat"]), jnp.asarray(inputs["peq_col"]),
-        jnp.asarray(inputs["txt_col"]), jnp.asarray(inputs["head"]),
+        jnp.asarray(inputs["txt_col"]), jnp.asarray(tlast_arr),
+        jnp.asarray(inputs["head"]),
         jnp.asarray(inputs["lanek"]), jnp.asarray(inputs["nlen"]),
         jnp.asarray(inputs["mword"]), jnp.asarray(inputs["mbit"]),
         jnp.asarray(inputs["mlen"]),
@@ -515,7 +527,6 @@ def batched_edit_distance_systolic(
     statics = dict(
         KC=KC, nbmax=nbmax, B1=B1, Tc=Tc, n_chunks=n_chunks,
         n_tiles=n_tiles, SUB=SUB, interpret=interpret, bits=bits,
-        early_stop=early_stop,
     )
     if pool_cache is not None:
         from .pallas_myers import _dedupe_pool

@@ -61,6 +61,13 @@ def _pow2(x: int, minimum: int = 1) -> int:
     return n
 
 
+def _pow2_floor(x: int, minimum: int = 1) -> int:
+    n = minimum
+    while n * 2 <= x:
+        n <<= 1
+    return n
+
+
 class _Pool:
     __slots__ = ("Hc", "bits", "dev", "cap", "n_used", "slots")
 
@@ -91,7 +98,7 @@ class DevicePoolCache:
     fresh cache per run re-shipped 154.5 MB on the config-4 surrogate;
     warm shared-pool runs ship only the rows not yet resident)."""
 
-    def __init__(self, budget_bytes: int = 256 << 20):
+    def __init__(self, budget_bytes: int = 1 << 30):
         self.pools: Dict[Tuple[int, int], _Pool] = {}
         self.budget = budget_bytes
         self.hits = 0
@@ -110,7 +117,18 @@ class DevicePoolCache:
         key = (bits, Hc)
         p = self.pools.get(key)
         if p is None:
-            p = self.pools[key] = _Pool(Hc, bits)
+            # pre-size the column capacity from the budget so the pool
+            # WIDTH never changes: the device pool array is a jit ARG of
+            # every pool-path kernel, so each width step recompiled every
+            # launch shape against it (measured: a warm config-4 rep spent
+            # 15.8 s in backend compiles as the pool width walked its
+            # pow2 ladder).  Half the remaining budget per new class,
+            # clamped to a sane column range.
+            colbytes = Hc // (8 // bits)
+            room = max(0, self.budget - self._total_bytes())
+            cap0 = max(512, min(65536, _pow2_floor(
+                max(1, (room // 2) // colbytes))))
+            p = self.pools[key] = _Pool(Hc, bits, cap0)
         return p
 
     def ensure(
@@ -151,10 +169,19 @@ class DevicePoolCache:
             n_new = len(missing)
             # pow2 pack width keeps the compiled-append ladder tiny
             n_pad = _pow2(n_new, minimum=64)
+            cpb = 8 // bits
             need_cap = p.cap
             if p.n_used + n_pad > need_cap:
-                need_cap = _pow2(p.n_used + n_pad, minimum=p.cap * 2)
-            cpb = 8 // bits
+                # growth is rare with the pre-sized cap; when it happens,
+                # jump straight to the budget-max width so it happens at
+                # most once per pool (every width is a fresh compile of
+                # every launch shape that takes the pool as an argument)
+                cap_max = _pow2_floor(max(
+                    1,
+                    (self.budget - self._total_bytes() + p.nbytes)
+                    // (Hc // cpb),
+                ))
+                need_cap = max(_pow2(p.n_used + n_pad), cap_max)
             post_bytes = (
                 self._total_bytes() - p.nbytes + (Hc // cpb) * need_cap
             )
@@ -172,8 +199,16 @@ class DevicePoolCache:
 
             mrows = [rows[i] for i in missing]
             mlens = lens[missing]
+            # pack/ship at the NEW rows' own pow2 height class: the pool
+            # column is Hc tall, but bytes past a row's length are never
+            # read (text is harvested exactly at n_len, peq planes are
+            # masked by plen), so a short append into a tall column is
+            # sound — and it cuts the H2D pad wire from Hc-proportional
+            # to content-proportional (the round-4 config-4 cold wire was
+            # mostly this pad)
+            Hs = min(Hc, max(128, _pow2(int(mlens.max(initial=1)))))
             packed = _pack_text_pool(
-                mrows, mlens, np.ones(n_new, bool), Hc, n_pad, bits
+                mrows, mlens, np.ones(n_new, bool), Hs, n_pad, bits
             )
             try:
                 if need_cap > p.cap:
